@@ -1,0 +1,395 @@
+"""Transformer encoder/decoder stacks, functional and scan-based.
+
+Layer semantics replicate fairseq2's ``StandardTransformerEncoder/DecoderLayer``
+as instantiated by SONAR (reference ``sonar/models/sonar_text/factory.py``):
+
+- per-layer norm order PRE (hard-coded at ``factory.py:127`` / ``:273``),
+- MHA with bias q/k/v/output projections, optional distinct ``kv_dim``,
+- FFN = inner_proj -> activation -> output_proj (both with bias),
+- top-level POST => no final LN inside the stack; PRE => trailing LN.
+
+TPU-first choices:
+- layers are *stacked* along a leading axis and executed with ``lax.scan`` —
+  one compiled layer body regardless of depth (bounded compile time, XLA
+  still pipelines HBM weight fetch),
+- softmax in fp32; residual stream keeps the compute dtype (bf16 on TPU),
+- decoder KV caches are preallocated static-shape buffers updated with
+  ``dynamic_update_slice`` so the whole generation loop stays inside one jit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sonar_tpu.nn.core import (
+    Params,
+    get_activation,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+)
+from sonar_tpu.ops.attention import sdpa_xla
+
+
+@dataclass(frozen=True)
+class AttentionSpec:
+    """Static attention hyperparameters (hashable; safe as jit static arg)."""
+
+    model_dim: int
+    num_heads: int
+    kv_dim: Optional[int] = None
+
+    @property
+    def head_dim(self) -> int:
+        return self.model_dim // self.num_heads
+
+
+# ---------------------------------------------------------------------------
+# Multi-head attention
+# ---------------------------------------------------------------------------
+
+def init_mha(rng: jax.Array, spec: AttentionSpec, dtype=jnp.float32) -> Params:
+    rngs = jax.random.split(rng, 4)
+    kv_dim = spec.kv_dim or spec.model_dim
+    return {
+        "q_proj": init_linear(rngs[0], spec.model_dim, spec.model_dim, dtype=dtype),
+        "k_proj": init_linear(rngs[1], kv_dim, spec.model_dim, dtype=dtype),
+        "v_proj": init_linear(rngs[2], kv_dim, spec.model_dim, dtype=dtype),
+        "output_proj": init_linear(rngs[3], spec.model_dim, spec.model_dim, dtype=dtype),
+    }
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, s, d = x.shape
+    return x.reshape(b, s, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, s, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+
+
+def mha_project_kv(params: Params, kv: jnp.ndarray, num_heads: int):
+    """Project memory once for reuse across decode steps: -> ([B,H,S,Dh], x2)."""
+    k = _split_heads(linear(params["k_proj"], kv), num_heads)
+    v = _split_heads(linear(params["v_proj"], kv), num_heads)
+    return k, v
+
+
+def mha_attend(
+    params: Params,
+    x: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    num_heads: int,
+) -> jnp.ndarray:
+    """Attention with pre-projected K/V (shared by full and incremental paths)."""
+    q = _split_heads(linear(params["q_proj"], x), num_heads)
+    out = sdpa_xla(q, k, v, bias=bias)
+    return linear(params["output_proj"], _merge_heads(out))
+
+
+def mha(
+    params: Params,
+    x: jnp.ndarray,
+    kv: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    num_heads: int,
+) -> jnp.ndarray:
+    k, v = mha_project_kv(params, kv, num_heads)
+    return mha_attend(params, x, k, v, bias, num_heads)
+
+
+# ---------------------------------------------------------------------------
+# Feed-forward
+# ---------------------------------------------------------------------------
+
+def init_ffn(rng: jax.Array, model_dim: int, inner_dim: int, dtype=jnp.float32) -> Params:
+    r1, r2 = jax.random.split(rng)
+    return {
+        "inner_proj": init_linear(r1, model_dim, inner_dim, dtype=dtype),
+        "output_proj": init_linear(r2, inner_dim, model_dim, dtype=dtype),
+    }
+
+
+def ffn(params: Params, x: jnp.ndarray, activation: str) -> jnp.ndarray:
+    act = get_activation(activation)
+    return linear(params["output_proj"], act(linear(params["inner_proj"], x)))
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def init_encoder_layer(
+    rng: jax.Array, spec: AttentionSpec, ffn_inner_dim: int, dtype=jnp.float32
+) -> Params:
+    r1, r2 = jax.random.split(rng)
+    return {
+        "self_attn": init_mha(r1, spec, dtype=dtype),
+        "self_attn_layer_norm": init_layer_norm(spec.model_dim, dtype),
+        "ffn": init_ffn(r2, spec.model_dim, ffn_inner_dim, dtype=dtype),
+        "ffn_layer_norm": init_layer_norm(spec.model_dim, dtype),
+    }
+
+
+def _residual_block(params_ln, x, fn, norm_order: str):
+    """PRE: x + fn(LN(x));  POST: LN(x + fn(x)).
+
+    Matches fairseq2 ``TransformerNormOrder.PRE/POST`` layer semantics; SONAR
+    text layers are PRE (factory.py:127), attention-pooler layers follow the
+    config (POST for ``basic`` text and the speech poolers).
+    """
+    if norm_order == "pre":
+        return x + fn(layer_norm(params_ln, x))
+    return layer_norm(params_ln, x + fn(x))
+
+
+def encoder_layer(
+    params: Params,
+    x: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    num_heads: int,
+    activation: str,
+    norm_order: str = "pre",
+) -> jnp.ndarray:
+    x = _residual_block(
+        params["self_attn_layer_norm"],
+        x,
+        lambda h: mha(params["self_attn"], h, h, bias, num_heads),
+        norm_order,
+    )
+    x = _residual_block(
+        params["ffn_layer_norm"],
+        x,
+        lambda h: ffn(params["ffn"], h, activation),
+        norm_order,
+    )
+    return x
+
+
+def stack_layers(layers: list) -> Params:
+    """List of per-layer param dicts -> single pytree with leading L axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def num_stacked_layers(stacked: Params) -> int:
+    return jax.tree_util.tree_leaves(stacked)[0].shape[0]
+
+
+def encoder_stack(
+    stacked_params: Params,
+    x: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    num_heads: int,
+    activation: str,
+    norm_order: str = "pre",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Run L encoder layers via lax.scan over stacked params."""
+
+    def body(carry, layer_params):
+        y = encoder_layer(layer_params, carry, bias, num_heads, activation, norm_order)
+        return y, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, stacked_params)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+def init_decoder_layer(
+    rng: jax.Array,
+    self_spec: AttentionSpec,
+    cross_spec: AttentionSpec,
+    ffn_inner_dim: int,
+    dtype=jnp.float32,
+) -> Params:
+    r1, r2, r3 = jax.random.split(rng, 3)
+    return {
+        "self_attn": init_mha(r1, self_spec, dtype=dtype),
+        "self_attn_layer_norm": init_layer_norm(self_spec.model_dim, dtype),
+        "encoder_decoder_attn": init_mha(r2, cross_spec, dtype=dtype),
+        "encoder_decoder_attn_layer_norm": init_layer_norm(self_spec.model_dim, dtype),
+        "ffn": init_ffn(r3, self_spec.model_dim, ffn_inner_dim, dtype=dtype),
+        "ffn_layer_norm": init_layer_norm(self_spec.model_dim, dtype),
+    }
+
+
+def decoder_layer(
+    params: Params,
+    x: jnp.ndarray,
+    self_bias: Optional[jnp.ndarray],
+    memory: jnp.ndarray,
+    memory_bias: Optional[jnp.ndarray],
+    num_heads: int,
+    activation: str,
+    norm_order: str = "pre",
+) -> jnp.ndarray:
+    """Decoder layer: self-attn, cross-attn, ffn (each residual)."""
+    x = _residual_block(
+        params["self_attn_layer_norm"],
+        x,
+        lambda h: mha(params["self_attn"], h, h, self_bias, num_heads),
+        norm_order,
+    )
+    x = _residual_block(
+        params["encoder_decoder_attn_layer_norm"],
+        x,
+        lambda h: mha(params["encoder_decoder_attn"], h, memory, memory_bias, num_heads),
+        norm_order,
+    )
+    x = _residual_block(
+        params["ffn_layer_norm"],
+        x,
+        lambda h: ffn(params["ffn"], h, activation),
+        norm_order,
+    )
+    return x
+
+
+def decoder_stack(
+    stacked_params: Params,
+    x: jnp.ndarray,
+    self_bias: Optional[jnp.ndarray],
+    memory: jnp.ndarray,
+    memory_bias: Optional[jnp.ndarray],
+    num_heads: int,
+    activation: str,
+    norm_order: str = "pre",
+    remat: bool = False,
+) -> jnp.ndarray:
+    def body(carry, layer_params):
+        y = decoder_layer(
+            layer_params,
+            carry,
+            self_bias,
+            memory,
+            memory_bias,
+            num_heads,
+            activation,
+            norm_order,
+        )
+        return y, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, stacked_params)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Incremental decoding with a static KV cache
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DecoderCache:
+    """Preallocated KV cache for the whole decoder stack.
+
+    self_k / self_v: [L, B, H, S_max, Dh] — written incrementally.
+    cross_k / cross_v: [L, B, H, S_mem, Dh] — projected once from memory.
+    index: scalar int32, next write position.
+
+    Registered as a pytree so it can be a ``lax.while_loop`` carry.
+    """
+
+    self_k: jnp.ndarray
+    self_v: jnp.ndarray
+    cross_k: jnp.ndarray
+    cross_v: jnp.ndarray
+    index: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    DecoderCache,
+    lambda c: ((c.self_k, c.self_v, c.cross_k, c.cross_v, c.index), None),
+    lambda _, xs: DecoderCache(*xs),
+)
+
+
+def init_decoder_cache(
+    stacked_params: Params,
+    memory: jnp.ndarray,
+    num_heads: int,
+    max_len: int,
+    batch: int,
+    model_dim: int,
+    dtype,
+) -> DecoderCache:
+    """Build the cache: preproject cross-attention K/V for every layer."""
+    n_layers = num_stacked_layers(stacked_params)
+    head_dim = model_dim // num_heads
+
+    def project(layer_params):
+        return mha_project_kv(layer_params["encoder_decoder_attn"], memory, num_heads)
+
+    cross_k, cross_v = jax.lax.map(project, stacked_params)
+    shape = (n_layers, batch, num_heads, max_len, head_dim)
+    return DecoderCache(
+        self_k=jnp.zeros(shape, dtype),
+        self_v=jnp.zeros(shape, dtype),
+        cross_k=cross_k.astype(dtype),
+        cross_v=cross_v.astype(dtype),
+        index=jnp.zeros((), jnp.int32),
+    )
+
+
+def decoder_step(
+    stacked_params: Params,
+    x: jnp.ndarray,
+    cache: DecoderCache,
+    memory_bias: Optional[jnp.ndarray],
+    num_heads: int,
+    activation: str,
+) -> Tuple[jnp.ndarray, DecoderCache]:
+    """One incremental decode step for the whole stack.
+
+    x: [B, 1, D] frontend output for the current position. Returns the stack
+    output [B, 1, D] and the updated cache (index advanced by 1).
+    """
+    idx = cache.index
+    max_len = cache.self_k.shape[3]
+    # Positions > idx are zeros in the cache; mask them out.
+    valid = jnp.arange(max_len, dtype=jnp.int32)[None, None, None, :] <= idx
+    neg = jnp.finfo(jnp.float32).min
+    self_bias = jnp.where(valid, 0.0, neg)
+
+    def body(carry, scanned):
+        layer_params, sk, sv, ck, cv = scanned
+        h = layer_norm(layer_params["self_attn_layer_norm"], carry)
+        k_new = _split_heads(linear(layer_params["self_attn"]["k_proj"], h), num_heads)
+        v_new = _split_heads(linear(layer_params["self_attn"]["v_proj"], h), num_heads)
+        sk = jax.lax.dynamic_update_slice(sk, k_new.astype(sk.dtype), (0, 0, idx, 0))
+        sv = jax.lax.dynamic_update_slice(sv, v_new.astype(sv.dtype), (0, 0, idx, 0))
+        y = carry + mha_attend(
+            layer_params["self_attn"], h, sk, sv, self_bias, num_heads
+        )
+        h = layer_norm(layer_params["encoder_decoder_attn_layer_norm"], y)
+        y = y + mha_attend(
+            layer_params["encoder_decoder_attn"], h, ck, cv, memory_bias, num_heads
+        )
+        h = layer_norm(layer_params["ffn_layer_norm"], y)
+        y = y + ffn(layer_params["ffn"], h, activation)
+        return y, (sk, sv)
+
+    x, (new_sk, new_sv) = jax.lax.scan(
+        body, x, (stacked_params, cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+    )
+    new_cache = DecoderCache(
+        self_k=new_sk,
+        self_v=new_sv,
+        cross_k=cache.cross_k,
+        cross_v=cache.cross_v,
+        index=idx + 1,
+    )
+    return x, new_cache

@@ -1,0 +1,84 @@
+"""NLLB tokenizer family: SentencePiece + language-tag conventions.
+
+Replicates fairseq2's ``NllbTokenizer`` semantics as used by SONAR
+(``tokenizer_family: nllb`` in ``sonar/cards/text_sonar_basic_encoder.yaml:12-13``):
+
+- the raw SPM vocab is extended with the 202 FLORES language codes plus
+  ``<MINED_DATA>`` control symbols (fairseq2 appends them after the SPM
+  pieces),
+- source encoding (mode "source"/default): ``[<lang>] pieces [</s>]``
+  (visible in the reference notebook: ``['eng_Latn','▁Hello','▁world','</s>']``),
+- target encoding (decoder prompt): prefix ``[</s>, <lang>]`` — the NLLB
+  generation convention the beam-search generator seeds with,
+- decoding filters control tokens.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+from sonar_tpu.models.common import VocabularyInfo
+from sonar_tpu.tokenizers.spm import (
+    SentencePieceDecoder,
+    SentencePieceEncoder,
+    SentencePieceModel,
+)
+
+
+class NllbTokenizer:
+    def __init__(
+        self,
+        model: Union[str, Path, SentencePieceModel],
+        langs: Sequence[str],
+        default_lang: Optional[str] = None,
+    ):
+        control_symbols = list(langs) + ["<MINED_DATA>"]
+        if isinstance(model, SentencePieceModel):
+            # Model must already contain the language symbols.
+            self.model = model
+            missing = [l for l in langs if l not in model._index]
+            if missing:
+                raise ValueError(f"model lacks language symbols: {missing[:3]}...")
+        else:
+            self.model = SentencePieceModel(model, control_symbols)
+        self.langs = list(langs)
+        self.default_lang = default_lang or (langs[0] if langs else None)
+        m = self.model
+        self.vocab_info = VocabularyInfo(
+            size=len(m),
+            unk_idx=m.unk_idx,
+            bos_idx=m.bos_idx,
+            eos_idx=m.eos_idx,
+            pad_idx=m.pad_idx if m.pad_idx is not None else m.unk_idx,
+        )
+
+    def create_encoder(
+        self,
+        lang: Optional[str] = None,
+        mode: str = "source",
+    ) -> SentencePieceEncoder:
+        lang = lang or self.default_lang
+        if lang is None:
+            raise ValueError("a language must be specified")
+        if mode in ("source", "default"):
+            return SentencePieceEncoder(
+                self.model, prefix_tokens=[lang], suffix_tokens=["</s>"]
+            )
+        if mode == "target":
+            return SentencePieceEncoder(
+                self.model, prefix_tokens=["</s>", lang], suffix_tokens=["</s>"]
+            )
+        raise ValueError(f"unknown mode: {mode}")
+
+    def create_raw_encoder(self) -> SentencePieceEncoder:
+        return SentencePieceEncoder(self.model)
+
+    def create_decoder(self) -> SentencePieceDecoder:
+        return SentencePieceDecoder(self.model)
+
+    def lang_token_id(self, lang: str) -> int:
+        return self.model.piece_to_id(lang)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return self.model.decode(ids)

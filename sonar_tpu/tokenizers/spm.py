@@ -1,0 +1,302 @@
+"""Native SentencePiece: unigram Viterbi encoding + decoding, no C++ deps.
+
+Replaces fairseq2n's C++ ``SentencePieceModel/Encoder/Decoder`` (used by the
+reference at ``sonar/inference_pipelines/text.py:13-14`` via the tokenizer
+hub and at ``sonar/models/laser2_text/tokenizer.py:16-21``).
+
+Implemented:
+- ``.model`` protobuf parsing (see ``spm_proto``),
+- NMT/NFKC-style text normalization (unicodedata NFKC + NMT space rules;
+  the precompiled charsmap is very close to NFKC for practical text — any
+  divergence only affects exotic codepoints),
+- whitespace escaping to U+2581 with optional dummy prefix,
+- unigram-LM Viterbi segmentation with byte-fallback and UNK penalty
+  (same algorithm as sentencepiece's ``UnigramModel::Encode``),
+- longest-match segmentation for BPE-merge-free fallback on BPE models,
+- control-symbol extension (fairseq2 ``SentencePieceModel(path, symbols)``).
+
+A C++ core (``sonar_tpu/native``) accelerates batch encoding when built; this
+module is the always-available pure-Python reference implementation.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Union
+
+from sonar_tpu.tokenizers.spm_proto import (
+    MODEL_UNIGRAM,
+    PIECE_BYTE,
+    PIECE_CONTROL,
+    PIECE_NORMAL,
+    PIECE_UNKNOWN,
+    PIECE_USER_DEFINED,
+    ModelProto,
+    parse_model_proto,
+)
+
+SPACE_ESCAPE = "▁"  # ▁
+UNK_PENALTY = 10.0
+
+
+class SentencePieceModel:
+    """SentencePiece model with optional appended control symbols."""
+
+    def __init__(
+        self,
+        path_or_proto: Union[str, Path, bytes, ModelProto],
+        control_symbols: Optional[Sequence[str]] = None,
+    ):
+        if isinstance(path_or_proto, ModelProto):
+            proto = path_or_proto
+        elif isinstance(path_or_proto, bytes):
+            proto = parse_model_proto(path_or_proto)
+        else:
+            proto = parse_model_proto(Path(path_or_proto).read_bytes())
+        self.proto = proto
+
+        self._pieces: List[str] = [p.piece for p in proto.pieces]
+        self._scores: List[float] = [p.score for p in proto.pieces]
+        self._types: List[int] = [p.type for p in proto.pieces]
+        self._index: Dict[str, int] = {}
+        for i, p in enumerate(proto.pieces):
+            self._index.setdefault(p.piece, i)
+
+        if control_symbols:
+            for sym in control_symbols:
+                self._pieces.append(sym)
+                self._scores.append(0.0)
+                self._types.append(PIECE_CONTROL)
+                self._index.setdefault(sym, len(self._pieces) - 1)
+
+        # Special ids: trainer spec is authoritative; fall back to piece types.
+        t = proto.trainer
+        self.unk_idx = self._resolve_special(t.unk_id, PIECE_UNKNOWN)
+        self.bos_idx = self._resolve_special(t.bos_id, None, "<s>")
+        self.eos_idx = self._resolve_special(t.eos_id, None, "</s>")
+        self.pad_idx = self._resolve_special(t.pad_id, None, "<pad>")
+
+        # Byte-fallback table.
+        self._byte_ids: Dict[int, int] = {}
+        for i, (piece, ptype) in enumerate(zip(self._pieces, self._types)):
+            if ptype == PIECE_BYTE and len(piece) == 6 and piece.startswith("<0x"):
+                self._byte_ids[int(piece[3:5], 16)] = i
+        self.byte_fallback = bool(t.byte_fallback) and bool(self._byte_ids)
+
+        # Viterbi lookup structures over *encodable* pieces only.
+        self._seg_index: Dict[str, int] = {
+            p: i
+            for p, i in self._index.items()
+            if self._types[i] in (PIECE_NORMAL, PIECE_USER_DEFINED)
+        }
+        self._max_piece_len = max((len(p) for p in self._seg_index), default=1)
+        scores = [s for i, s in enumerate(self._scores) if self._types[i] == PIECE_NORMAL]
+        self._min_score = min(scores, default=0.0)
+        self._unk_score = self._min_score - UNK_PENALTY
+        self.model_type = t.model_type
+
+    def _resolve_special(self, declared: int, ptype, piece: str = "") -> Optional[int]:
+        if declared is not None and declared >= 0:
+            return declared
+        if ptype is not None:
+            for i, p in enumerate(self.proto.pieces):
+                if p.type == ptype:
+                    return i
+        if piece and piece in self._index:
+            return self._index[piece]
+        return None
+
+    # -- basic accessors ----------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self._pieces)
+
+    @property
+    def vocabulary_size(self) -> int:
+        return len(self._pieces)
+
+    def piece_to_id(self, piece: str) -> int:
+        idx = self._index.get(piece)
+        if idx is None:
+            if self.unk_idx is None:
+                raise KeyError(piece)
+            return self.unk_idx
+        return idx
+
+    def id_to_piece(self, idx: int) -> str:
+        return self._pieces[idx]
+
+    # -- normalization ------------------------------------------------------
+
+    def normalize(self, text: str) -> str:
+        n = self.proto.normalizer
+        if n.name != "identity":
+            text = unicodedata.normalize("NFKC", text)
+            # NMT rules: normalize exotic spaces / strip control chars.
+            out = []
+            for ch in text:
+                cp = ord(ch)
+                if cp in (0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF):
+                    continue
+                if ch in "\t\n\r" or unicodedata.category(ch) == "Zs":
+                    out.append(" ")
+                elif unicodedata.category(ch) in ("Cc", "Cf"):
+                    continue
+                else:
+                    out.append(ch)
+            text = "".join(out)
+        if n.remove_extra_whitespaces:
+            text = " ".join(x for x in text.split(" ") if x)
+        if not text:
+            return text
+        if n.add_dummy_prefix:
+            text = " " + text
+        if n.escape_whitespaces:
+            text = text.replace(" ", SPACE_ESCAPE)
+        return text
+
+    # -- encoding -----------------------------------------------------------
+
+    def encode(self, text: str) -> List[int]:
+        """Text -> piece ids (no prefix/suffix handling; see encoders)."""
+        s = self.normalize(text)
+        if not s:
+            return []
+        if self.model_type == MODEL_UNIGRAM:
+            return self._viterbi(s)
+        return self._longest_match(s)
+
+    def encode_as_pieces(self, text: str) -> List[str]:
+        return [self._pieces[i] for i in self.encode(text)]
+
+    def _viterbi(self, s: str) -> List[int]:
+        n = len(s)
+        NEG = -1e18
+        best = [NEG] * (n + 1)
+        back: List[Optional[tuple]] = [None] * (n + 1)
+        best[0] = 0.0
+        index = self._seg_index
+        scores = self._scores
+        max_len = self._max_piece_len
+        for i in range(n):
+            bi = best[i]
+            if bi <= NEG:
+                continue
+            hi = min(n, i + max_len)
+            sub = s[i:hi]
+            found = False
+            for L in range(1, hi - i + 1):
+                pid = index.get(sub[:L])
+                if pid is None:
+                    continue
+                found = True
+                cand = bi + scores[pid]
+                if cand > best[i + L]:
+                    best[i + L] = cand
+                    back[i + L] = (i, pid)
+            if not found or best[i + 1] <= NEG:
+                # single-char fallback: unk (or bytes at decode stage)
+                cand = bi + self._unk_score
+                if cand > best[i + 1]:
+                    best[i + 1] = cand
+                    back[i + 1] = (i, -1)
+        # Backtrack.
+        ids: List[int] = []
+        pos = n
+        while pos > 0:
+            i, pid = back[pos]
+            if pid == -1:
+                ids.extend(reversed(self._fallback_ids(s[i:pos])))
+            else:
+                ids.append(pid)
+            pos = i
+        ids.reverse()
+        return ids
+
+    def _fallback_ids(self, chunk: str) -> List[int]:
+        if self.byte_fallback:
+            return [self._byte_ids[b] for b in chunk.encode("utf-8")]
+        return [self.unk_idx if self.unk_idx is not None else 0]
+
+    def _longest_match(self, s: str) -> List[int]:
+        ids: List[int] = []
+        i, n = 0, len(s)
+        while i < n:
+            matched = None
+            for L in range(min(self._max_piece_len, n - i), 0, -1):
+                pid = self._seg_index.get(s[i : i + L])
+                if pid is not None:
+                    matched = (L, pid)
+                    break
+            if matched is None:
+                ids.extend(self._fallback_ids(s[i]))
+                i += 1
+            else:
+                ids.append(matched[1])
+                i += matched[0]
+        return ids
+
+    # -- decoding -----------------------------------------------------------
+
+    def decode(self, ids: Sequence[int]) -> str:
+        out: List[str] = []
+        byte_buf = bytearray()
+
+        def flush_bytes():
+            if byte_buf:
+                out.append(byte_buf.decode("utf-8", errors="replace"))
+                byte_buf.clear()
+
+        for idx in ids:
+            idx = int(idx)
+            if idx < 0 or idx >= len(self._pieces):
+                continue
+            ptype = self._types[idx]
+            if ptype == PIECE_BYTE:
+                byte_buf.append(int(self._pieces[idx][3:5], 16))
+                continue
+            flush_bytes()
+            if ptype in (PIECE_CONTROL, PIECE_UNKNOWN):
+                continue
+            out.append(self._pieces[idx])
+        flush_bytes()
+        text = "".join(out).replace(SPACE_ESCAPE, " ")
+        return text[1:] if text.startswith(" ") else text
+
+
+class SentencePieceEncoder:
+    """Callable encoder with prefix/suffix token handling (fairseq2 parity)."""
+
+    def __init__(
+        self,
+        model: SentencePieceModel,
+        prefix_tokens: Optional[Sequence[str]] = None,
+        suffix_tokens: Optional[Sequence[str]] = None,
+    ):
+        self.model = model
+        self.prefix_indices = [model.piece_to_id(t) for t in (prefix_tokens or [])]
+        self.suffix_indices = [model.piece_to_id(t) for t in (suffix_tokens or [])]
+
+    def __call__(self, text: str) -> List[int]:
+        return self.prefix_indices + self.model.encode(text) + self.suffix_indices
+
+
+class SentencePieceDecoder:
+    def __init__(self, model: SentencePieceModel):
+        self.model = model
+
+    def __call__(self, ids: Sequence[int]) -> str:
+        return self.model.decode(ids)
+
+
+def vocab_info_from_sentencepiece(model: SentencePieceModel):
+    from sonar_tpu.models.common import VocabularyInfo
+
+    return VocabularyInfo(
+        size=len(model),
+        unk_idx=model.unk_idx,
+        bos_idx=model.bos_idx,
+        eos_idx=model.eos_idx,
+        pad_idx=model.pad_idx if model.pad_idx is not None else model.unk_idx,
+    )

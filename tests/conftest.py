@@ -1,0 +1,28 @@
+"""Test config: force an 8-virtual-device CPU platform for sharding tests.
+
+Must run before jax initializes its backends, hence the env mutation at
+import time (pytest imports conftest before test modules import jax).
+"""
+
+import os
+
+# The environment pins JAX_PLATFORMS=axon (tunneled TPU); tests must run on
+# a local 8-virtual-device CPU platform: override hard, not setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
