@@ -1,0 +1,75 @@
+"""SONAR-TPU benchmark: text-encode throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline = the BASELINE.json north-star of 10,000 sentences/sec/chip for
+SONAR ``basic`` text encoding on TPU v5e (the reference publishes no
+throughput numbers; SURVEY §6).
+
+Workload: the full 24-layer 1024-d NLLB-style encoder in bf16, batches of
+realistic sentence lengths (len-32 bucket — typical tokenized sentence),
+steady-state, one chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 256
+SEQ_LEN = 32
+WARMUP = 3
+ITERS = 10
+BASELINE_SENTS_PER_SEC = 10_000.0
+
+
+def main() -> None:
+    from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
+
+    config = sonar_text_encoder_archs.get("basic")
+    model = SonarTextEncoder(config, dtype=jnp.bfloat16)
+    init = jax.jit(
+        lambda key: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), model.init_params(key)
+        )
+    )
+    params = init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def encode(params, seqs, seq_lens):
+        return model.apply(params, seqs, seq_lens).sentence_embeddings
+
+    rng = np.random.default_rng(0)
+    seqs = jnp.asarray(rng.integers(4, 256000, size=(BATCH, SEQ_LEN)), jnp.int32)
+    # Realistic ragged lengths within the bucket (mean ~24 tokens).
+    lens = jnp.asarray(rng.integers(12, SEQ_LEN + 1, size=(BATCH,)), jnp.int32)
+
+    for _ in range(WARMUP):
+        encode(params, seqs, lens).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = encode(params, seqs, lens)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    sents_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "text_encode_sentences_per_sec_per_chip",
+                "value": round(sents_per_sec, 1),
+                "unit": "sentences/s",
+                "vs_baseline": round(sents_per_sec / BASELINE_SENTS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Model hubs: card name -> loaded, jit-ready model bundles.
+
+Counterpart of fairseq2's ``ModelHubAccessor`` pattern
+(``get_sonar_text_encoder_hub().load(name, ...)``, reference
+``sonar/inference_pipelines/text.py:80-87``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from sonar_tpu.assets import checkpoint as ckpt
+from sonar_tpu.assets.store import ModelCard, cached_path, default_store
+
+
+def load_text_encoder(name: str, dtype=jnp.float32):
+    from sonar_tpu.inference_pipelines.text import JitTextEncoder
+    from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
+
+    card = default_store().model_card(name)
+    if card.family != "sonar_text_encoder":
+        raise ValueError(f"'{name}' is a {card.family} card, not a text encoder")
+    config = sonar_text_encoder_archs.get(card.arch)
+    model = SonarTextEncoder(config, dtype=dtype)
+    flat = ckpt.load_torch_state_dict(cached_path(card.checkpoint))
+    params = ckpt.text_encoder_params(flat)
+    if dtype != jnp.float32:
+        import jax
+
+        params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+    return JitTextEncoder(model, params)
+
+
+def load_text_decoder(name: str, dtype=jnp.float32):
+    from sonar_tpu.generation.decoder_runtime import JitTextDecoder
+    from sonar_tpu.models.sonar_text import sonar_text_decoder_archs
+    from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
+
+    card = default_store().model_card(name)
+    if card.family != "sonar_text_decoder":
+        raise ValueError(f"'{name}' is a {card.family} card, not a text decoder")
+    config = sonar_text_decoder_archs.get(card.arch)
+    model = ConditionalTransformerDecoder(config, dtype=dtype)
+    flat = ckpt.load_torch_state_dict(cached_path(card.checkpoint))
+    params = ckpt.text_decoder_params(flat)
+    if dtype != jnp.float32:
+        import jax
+
+        params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+    return JitTextDecoder(model, params)
+
+
+def load_tokenizer(name: str):
+    store = default_store()
+    card = store.tokenizer_card(name)
+    path = cached_path(card.model)
+    if card.family == "nllb":
+        from sonar_tpu.tokenizers.nllb import NllbTokenizer
+
+        return NllbTokenizer(
+            path, langs=store.text_languages, default_lang=card.default_lang
+        )
+    if card.family in ("laser2", "lstm"):
+        from sonar_tpu.tokenizers.laser2 import Laser2Tokenizer
+
+        return Laser2Tokenizer(path)
+    raise ValueError(f"unknown tokenizer family: {card.family}")

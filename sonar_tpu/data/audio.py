@@ -1,0 +1,160 @@
+"""Audio decoding + file mapping (host side).
+
+Replaces fairseq2n's C++ ``AudioDecoder`` (libsndfile) and ``FileMapper``
+(reference usage: ``sonar/inference_pipelines/speech.py:23,118,296-308``).
+Implements a native RIFF/WAVE parser (PCM 8/16/24/32-bit and IEEE float,
+mono/multichannel) in numpy — no external audio library needed for the wav
+test/eval paths; scipy is used as fallback for other formats when present.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Optional, Union
+
+import numpy as np
+
+
+@dataclass
+class DecodedAudio:
+    waveform: np.ndarray  # [T, C] float32 in [-1, 1]
+    sample_rate: float
+    format: int = -1
+
+    def as_dict(self) -> Dict:
+        return {
+            "waveform": self.waveform,
+            "sample_rate": self.sample_rate,
+            "format": self.format,
+        }
+
+
+def decode_wav_bytes(data: bytes) -> DecodedAudio:
+    """Parse a RIFF/WAVE blob -> float32 [T, C] in [-1, 1]."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return _decode_with_scipy(data)
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif chunk_id == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError("malformed wav: missing fmt/data chunk")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format == 0xFFFE and len(data) > 0:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = 1 if bits != 32 else 3
+
+    if audio_format == 1:  # PCM
+        if bits == 16:
+            x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif bits == 8:
+            x = (np.frombuffer(raw, "u1").astype(np.float32) - 128.0) / 128.0
+        elif bits == 24:
+            b = np.frombuffer(raw, "u1").reshape(-1, 3)
+            val = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            val = np.where(val >= 1 << 23, val - (1 << 24), val)
+            x = val.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(raw, "<i4").astype(np.float32) / float(1 << 31)
+        else:
+            raise ValueError(f"unsupported PCM bit depth: {bits}")
+    elif audio_format == 3:  # IEEE float
+        x = np.frombuffer(raw, "<f4" if bits == 32 else "<f8").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported wav format code: {audio_format}")
+
+    if channels > 1:
+        x = x.reshape(-1, channels)
+    else:
+        x = x.reshape(-1, 1)
+    return DecodedAudio(waveform=x, sample_rate=float(rate))
+
+
+def _decode_with_scipy(data: bytes) -> DecodedAudio:
+    try:
+        from scipy.io import wavfile
+    except ImportError as e:  # pragma: no cover
+        raise ValueError("unrecognized audio container (only wav supported)") from e
+    rate, x = wavfile.read(io.BytesIO(data))
+    if x.dtype.kind == "i":
+        x = x.astype(np.float32) / float(np.iinfo(x.dtype).max + 1)
+    elif x.dtype.kind == "u":
+        x = (x.astype(np.float32) - 128.0) / 128.0
+    else:
+        x = x.astype(np.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    return DecodedAudio(waveform=x, sample_rate=float(rate))
+
+
+class AudioDecoder:
+    """Callable: bytes | path | array -> dict(waveform [T,C], sample_rate)."""
+
+    def __call__(self, inp: Union[bytes, str, Path, np.ndarray]) -> Dict:
+        if isinstance(inp, np.ndarray):
+            wave = np.asarray(inp, np.float32)
+            if wave.ndim == 1:
+                wave = wave[:, None]
+            elif wave.shape[0] < wave.shape[1]:  # [C, T] -> [T, C]
+                wave = wave.T
+            return DecodedAudio(wave, 16000.0).as_dict()
+        if isinstance(inp, (str, Path)):
+            inp = Path(inp).read_bytes()
+        return decode_wav_bytes(inp).as_dict()
+
+
+class FileMapper:
+    """Resolve relative paths under a root dir and read bytes.
+
+    Supports fairseq2-style ``path[:offset[:length]]`` byte-window syntax
+    used in TSV manifests (``FileMapper`` at ``speech.py:109-112``).
+    """
+
+    def __init__(self, root_dir: Union[str, Path, None] = None, cached_fd_count: int = 10):
+        self.root_dir = Path(root_dir) if root_dir else None
+
+    def __call__(self, pathname: str) -> Dict:
+        parts = str(pathname).split(":")
+        rel, offset, length = parts[0], None, None
+        if len(parts) >= 2 and parts[1].isdigit():
+            offset = int(parts[1])
+        if len(parts) >= 3 and parts[2].isdigit():
+            length = int(parts[2])
+        path = (self.root_dir / rel) if self.root_dir else Path(rel)
+        data = path.read_bytes()
+        if offset is not None:
+            data = data[offset : offset + length] if length else data[offset:]
+        return {"path": str(path), "data": data}
+
+
+def write_wav(path: Union[str, Path], waveform: np.ndarray, sample_rate: int = 16000):
+    """Write mono/multi PCM16 wav (test fixtures)."""
+    x = np.asarray(waveform)
+    if x.ndim == 1:
+        x = x[:, None]
+    pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+    channels = pcm.shape[1]
+    byte_rate = sample_rate * channels * 2
+    data = pcm.tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(data)))
+        f.write(b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, channels * 2, 16))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(data)))
+        f.write(data)

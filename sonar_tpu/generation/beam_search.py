@@ -1,0 +1,320 @@
+"""Beam search for embedding-conditioned decoding, TPU-first.
+
+Replaces fairseq2's ``BeamSearchSeq2SeqGenerator`` (used by the reference at
+``sonar/inference_pipelines/text.py:109,320`` and ``speech.py:363-371``):
+
+- fairseq-style algorithm: at each step take the top ``2K`` candidates over
+  (beam x vocab); EOS candidates ranked within the first ``K`` are finalized
+  (fairseq1 ``sequence_generator`` semantics); the first ``K`` non-EOS
+  candidates continue as the live beam,
+- finalized score = cumulative logprob / (length ** len_penalty) when
+  ``normalize_scores`` (fairseq length normalization),
+- the whole search is one ``lax.while_loop`` under jit: static token buffer
+  [B, K, T], preallocated KV cache over B*K rows, early exit when every
+  batch's finished set can no longer be improved.
+
+A pure-Python oracle (``beam_search_oracle``) implements the same algorithm
+eagerly over a step callback; the jitted path is tested against it on toy
+models (two independent implementations must agree).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+
+
+@dataclass(frozen=True)
+class BeamSearchConfig:
+    beam_size: int = 5
+    min_gen_len: int = 1
+    max_gen_len: int = 128
+    len_penalty: float = 1.0
+    normalize_scores: bool = True
+    unk_penalty: float = 0.0
+
+    @classmethod
+    def from_kwargs(cls, model_max_len: int, **kwargs) -> "BeamSearchConfig":
+        """Map reference generator kwargs (incl. ``max_seq_len``) to a config."""
+        cfg = cls()
+        if "beam_size" in kwargs:
+            cfg = dataclasses.replace(cfg, beam_size=int(kwargs["beam_size"]))
+        max_seq_len = int(kwargs.get("max_seq_len", model_max_len))
+        max_seq_len = min(max_seq_len, model_max_len)
+        max_gen = int(kwargs.get("max_gen_len", min(cfg.max_gen_len, max_seq_len)))
+        cfg = dataclasses.replace(cfg, max_gen_len=min(max_gen, max_seq_len))
+        for key in ("min_gen_len", "len_penalty", "normalize_scores", "unk_penalty"):
+            if key in kwargs:
+                cfg = dataclasses.replace(cfg, **{key: kwargs[key]})
+        return cfg
+
+    def normalized(self, score: float, length: int) -> float:
+        if not self.normalize_scores:
+            return score
+        return score / (max(length, 1) ** self.len_penalty)
+
+
+# ---------------------------------------------------------------------------
+# Oracle (eager Python) — reference semantics, used for testing the lax path
+# ---------------------------------------------------------------------------
+
+def beam_search_oracle(
+    logprob_fn: Callable[[List[List[int]]], np.ndarray],
+    prefix: List[int],
+    eos_idx: int,
+    config: BeamSearchConfig,
+    unk_idx: Optional[int] = None,
+) -> Tuple[List[int], float]:
+    """Single-sequence beam search over a stateless logprob callback.
+
+    ``logprob_fn(seqs)`` returns next-token logprobs [n, V] for full prefixes
+    (teacher-forced recompute per step — O(T^2) but trivially correct).
+    Returns the best hypothesis (generated part, excluding prefix) + score.
+    """
+    K = config.beam_size
+    beams: List[Tuple[List[int], float]] = [(list(prefix), 0.0)]
+    finished: List[Tuple[List[int], float]] = []
+
+    for step in range(config.max_gen_len):
+        lp = np.asarray(logprob_fn([b[0] for b in beams]), np.float64)
+        if step + 1 < config.min_gen_len:
+            lp[:, eos_idx] = -np.inf
+        if unk_idx is not None and config.unk_penalty:
+            lp[:, unk_idx] -= config.unk_penalty
+        V = lp.shape[1]
+        cands = []
+        for bi, (toks, sc) in enumerate(beams):
+            for v in np.argsort(lp[bi])[::-1][: 2 * K]:
+                cands.append((sc + lp[bi, v], bi, int(v)))
+        cands.sort(key=lambda x: -x[0])
+        cands = cands[: 2 * K]
+        new_beams = []
+        for rank, (sc, bi, v) in enumerate(cands):
+            if v == eos_idx and rank < K:
+                finished.append(
+                    (beams[bi][0][len(prefix):] + [v],
+                     config.normalized(sc, step + 1))
+                )
+            elif v != eos_idx and len(new_beams) < K:
+                new_beams.append((beams[bi][0] + [v], sc))
+        beams = new_beams
+        if not beams or (
+            len(finished) >= K
+            and max(config.normalized(sc, config.max_gen_len) for _, sc in beams)
+            <= min(f[1] for f in sorted(finished, key=lambda x: -x[1])[:K])
+        ):
+            break
+
+    if not finished:
+        # Force-finish the best live beam (hit max_gen_len).
+        toks, sc = max(beams, key=lambda b: b[1])
+        finished.append((toks[len(prefix):] + [eos_idx],
+                         config.normalized(sc, config.max_gen_len + 1)))
+    finished.sort(key=lambda x: -x[1])
+    return finished[0]
+
+
+# ---------------------------------------------------------------------------
+# TPU path: lax.while_loop over a stepping decoder with static KV cache
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BeamState:
+    tokens: jnp.ndarray          # [B, K, T] live beam tokens (incl. prefix)
+    scores: jnp.ndarray          # [B, K] cumulative logprob
+    fin_tokens: jnp.ndarray      # [B, K, T]
+    fin_scores: jnp.ndarray      # [B, K] normalized (or raw) scores
+    fin_lens: jnp.ndarray        # [B, K] generated length incl. eos
+    step: jnp.ndarray            # scalar
+    cache: object                # decoder cache pytree (B*K rows)
+
+
+jax.tree_util.register_pytree_node(
+    BeamState,
+    lambda s: (
+        (s.tokens, s.scores, s.fin_tokens, s.fin_scores, s.fin_lens, s.step, s.cache),
+        None,
+    ),
+    lambda _, xs: BeamState(*xs),
+)
+
+
+def _length_norm(scores: jnp.ndarray, lengths: jnp.ndarray, config) -> jnp.ndarray:
+    if not config.normalize_scores:
+        return scores
+    return scores / jnp.maximum(lengths.astype(jnp.float32), 1.0) ** config.len_penalty
+
+
+def beam_search_lax(
+    step_fn: Callable,
+    cache,
+    prefix_tokens: jnp.ndarray,
+    eos_idx: int,
+    vocab_size: int,
+    config: BeamSearchConfig,
+    pad_idx: int = 0,
+    unk_idx: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched beam search.
+
+    step_fn(tokens [N], cache) -> (logprobs [N, V] fp32, cache'): one decoder
+    step for N = B*K flattened beam rows. ``cache`` must already be built for
+    B*K rows (memory repeated beam-wise) and positioned at step 0.
+    prefix_tokens: [B, P] forced prompt (same P for the whole batch).
+
+    Returns (tokens [B, K, T_gen], scores [B, K], lengths [B, K]) sorted by
+    score, where tokens exclude the prefix and include EOS.
+    """
+    B, P = prefix_tokens.shape
+    K = config.beam_size
+    T = config.max_gen_len + 1  # generated tokens incl. eos
+    N = B * K
+
+    # ---- prefill: force the prompt through the decoder ----------------------
+    def prefill_body(i, carry):
+        cache, _ = carry
+        toks = jnp.repeat(prefix_tokens[:, i], K)  # [N]
+        logprobs, cache = step_fn(toks, cache)
+        return cache, logprobs
+
+    cache, last_logprobs = jax.lax.fori_loop(
+        0, P, prefill_body, (cache, jnp.zeros((N, vocab_size), jnp.float32))
+    )
+
+    state = BeamState(
+        tokens=jnp.full((B, K, T), pad_idx, jnp.int32),
+        # Step 0: only beam 0 live (all beams start identical).
+        scores=jnp.where(
+            jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+        ).astype(jnp.float32).repeat(B, axis=0).reshape(B, K),
+        fin_tokens=jnp.full((B, K, T), pad_idx, jnp.int32),
+        fin_scores=jnp.full((B, K), NEG_INF, jnp.float32),
+        fin_lens=jnp.zeros((B, K), jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+        cache=cache,
+    )
+
+    def cond(carry):
+        state, logprobs = carry
+        # Upper bound on any live beam's final normalized score: cumulative
+        # logprob can only decrease, and for negative scores the length
+        # normalization is most favorable at the maximum length — so bound
+        # with max_gen_len (same bound as the oracle).
+        max_len = jnp.full((), config.max_gen_len, jnp.int32)
+        live_best = _length_norm(state.scores, max_len, config).max(axis=1)
+        fin_worst = state.fin_scores.min(axis=1)
+        improvable = live_best > fin_worst
+        return jnp.logical_and(state.step < config.max_gen_len, improvable.any())
+
+    def body(carry):
+        state, logprobs = carry
+        step = state.step
+        lp = logprobs.reshape(B, K, vocab_size)
+        lp = jnp.where(step + 1 < config.min_gen_len,
+                       lp.at[:, :, eos_idx].set(NEG_INF), lp)
+        if unk_idx is not None and config.unk_penalty:
+            lp = lp.at[:, :, unk_idx].add(-config.unk_penalty)
+
+        cand = state.scores[:, :, None] + lp                      # [B, K, V]
+        flat = cand.reshape(B, K * vocab_size)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)          # [B, 2K]
+        top_beam = top_idx // vocab_size
+        top_tok = top_idx % vocab_size
+        is_eos = top_tok == eos_idx
+
+        # --- finalize: eos candidates ranked within the first K -------------
+        rank = jnp.arange(2 * K)[None, :]
+        finalize = is_eos & (rank < K) & (top_scores > NEG_INF / 2)
+        norm_scores = _length_norm(top_scores, step + 1, config)
+        # Merge (existing finished) with (new finalized) and keep top K.
+        cand_fin_scores = jnp.where(finalize, norm_scores, NEG_INF)  # [B, 2K]
+        # Gather candidate token rows: live beam tokens + eos at position step.
+        src_tokens = jnp.take_along_axis(
+            state.tokens, top_beam[:, :, None], axis=1
+        )                                                          # [B, 2K, T]
+        eos_onehot = jnp.arange(T)[None, None, :] == step
+        cand_tokens = jnp.where(eos_onehot, eos_idx, src_tokens)
+        cand_lens = jnp.full((B, 2 * K), 0, jnp.int32) + step + 1
+
+        all_scores = jnp.concatenate([state.fin_scores, cand_fin_scores], axis=1)
+        all_tokens = jnp.concatenate([state.fin_tokens, cand_tokens], axis=1)
+        all_lens = jnp.concatenate([state.fin_lens, cand_lens], axis=1)
+        fin_top, fin_idx = jax.lax.top_k(all_scores, K)
+        new_fin_tokens = jnp.take_along_axis(all_tokens, fin_idx[:, :, None], axis=1)
+        new_fin_lens = jnp.take_along_axis(all_lens, fin_idx, axis=1)
+
+        # --- continue: first K non-eos candidates ---------------------------
+        cont_scores = jnp.where(is_eos, NEG_INF, top_scores)       # [B, 2K]
+        order = jnp.argsort(-cont_scores, axis=1)[:, :K]           # [B, K]
+        new_scores = jnp.take_along_axis(cont_scores, order, axis=1)
+        sel_beam = jnp.take_along_axis(top_beam, order, axis=1)    # [B, K]
+        sel_tok = jnp.take_along_axis(top_tok, order, axis=1)      # [B, K]
+
+        new_tokens = jnp.take_along_axis(state.tokens, sel_beam[:, :, None], axis=1)
+        tok_onehot = jnp.arange(T)[None, None, :] == step
+        new_tokens = jnp.where(tok_onehot, sel_tok[:, :, None], new_tokens)
+
+        # --- reorder the KV cache to follow the selected beams --------------
+        flat_src = (jnp.arange(B)[:, None] * K + sel_beam).reshape(N)
+        cache = jax.tree_util.tree_map(
+            lambda a: _gather_cache_rows(a, flat_src), state.cache
+        )
+
+        # --- next decoder step ----------------------------------------------
+        logprobs, cache = step_fn(sel_tok.reshape(N), cache)
+
+        return (
+            BeamState(
+                tokens=new_tokens,
+                scores=new_scores,
+                fin_tokens=new_fin_tokens,
+                fin_scores=fin_top,
+                fin_lens=new_fin_lens,
+                step=step + 1,
+                cache=cache,
+            ),
+            logprobs,
+        )
+
+    state, _ = jax.lax.while_loop(cond, body, (state, last_logprobs))
+
+    # Force-finish best live beams where nothing finished (hit max len).
+    no_fin = state.fin_scores <= NEG_INF / 2                      # [B, K]
+    live_norm = _length_norm(state.scores, state.step + 1, config)
+    live_tokens = jnp.where(
+        jnp.arange(T)[None, None, :] == jnp.minimum(state.step, T - 1),
+        eos_idx,
+        state.tokens,
+    )
+    fin_scores = jnp.where(no_fin, live_norm, state.fin_scores)
+    fin_tokens = jnp.where(no_fin[:, :, None], live_tokens, state.fin_tokens)
+    fin_lens = jnp.where(no_fin, state.step + 1, state.fin_lens)
+
+    order = jnp.argsort(-fin_scores, axis=1)
+    return (
+        jnp.take_along_axis(fin_tokens, order[:, :, None], axis=1),
+        jnp.take_along_axis(fin_scores, order, axis=1),
+        jnp.take_along_axis(fin_lens, order, axis=1),
+    )
+
+
+def _gather_cache_rows(a: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """Reorder the batch axis of a cache leaf; batch may be axis 0 or 1.
+
+    Cache leaves are [L, N, H, S, Dh] (stacked per layer) or scalar index.
+    """
+    if a.ndim == 0:
+        return a
+    if a.ndim >= 2 and a.shape[1] == rows.shape[0]:
+        return a[:, rows]
+    if a.shape[0] == rows.shape[0]:
+        return a[rows]
+    return a

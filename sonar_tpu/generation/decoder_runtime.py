@@ -1,0 +1,156 @@
+"""Jitted runtime around the conditional text decoder: generation entry points.
+
+Bundles ``ConditionalTransformerDecoder`` + params and exposes beam-search /
+sampling generation with shape-bucketed jit caching. The full generation loop
+(prefill + while_loop + finalization) runs as ONE compiled XLA program per
+(batch_bucket, prefix_len, beam, max_gen_len) signature.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonar_tpu.data.collate import round_up_pow2
+from sonar_tpu.generation.beam_search import BeamSearchConfig, beam_search_lax
+from sonar_tpu.generation.sampling import sample_lax
+from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
+
+
+class JitTextDecoder:
+    def __init__(self, model: ConditionalTransformerDecoder, params):
+        self.model = model
+        self.params = params
+        self._beam_jit = {}
+        self._sample_jit = {}
+        self._score_fn = jax.jit(
+            lambda p, seqs, lens, mem: model.forward(p, seqs, lens, mem)
+        )
+
+    @property
+    def dtype(self):
+        return self.model.dtype
+
+    @property
+    def max_target_len(self) -> int:
+        return self.model.max_target_len
+
+    @property
+    def vocab_info(self):
+        return self.model.config.vocab_info
+
+    # -- scoring (teacher-forced logits) --------------------------------------
+
+    def score(self, seqs, seq_lens, memory) -> np.ndarray:
+        return np.asarray(
+            self._score_fn(
+                self.params, jnp.asarray(seqs),
+                None if seq_lens is None else jnp.asarray(seq_lens),
+                jnp.asarray(memory),
+            )
+        )
+
+    # -- beam search -----------------------------------------------------------
+
+    def _build_beam_fn(self, config: BeamSearchConfig, prefix_len: int):
+        model = self.model
+        vocab = model.config.vocab_info.size
+        eos = model.config.vocab_info.eos_idx
+        pad = model.config.vocab_info.pad_idx or 0
+        unk = model.config.vocab_info.unk_idx
+        K = config.beam_size
+
+        def fn(params, memory, prefix):
+            B = memory.shape[0]
+            mem_rep = jnp.repeat(memory, K, axis=0)  # [B*K, 1, D]
+            cache = model.init_cache(
+                params, mem_rep, max_len=prefix_len + config.max_gen_len + 1
+            )
+
+            def step_fn(tokens, cache):
+                logits, cache = model.step(params, tokens, cache)
+                return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), cache
+
+            return beam_search_lax(
+                step_fn, cache, prefix, eos, vocab, config, pad_idx=pad, unk_idx=unk
+            )
+
+        return jax.jit(fn)
+
+    def generate_beam(
+        self,
+        memory: np.ndarray,
+        prefix_ids: Sequence[int],
+        config: BeamSearchConfig,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """memory: [B, 1, D]; returns (tokens [B,K,T], scores [B,K], lens [B,K])."""
+        b = memory.shape[0]
+        b_pad = round_up_pow2(b)
+        if b_pad != b:
+            memory = np.concatenate(
+                [memory, np.zeros((b_pad - b,) + memory.shape[1:], memory.dtype)]
+            )
+        prefix = np.tile(np.asarray(prefix_ids, np.int32)[None, :], (b_pad, 1))
+        key = (config, len(prefix_ids))
+        if key not in self._beam_jit:
+            self._beam_jit[key] = self._build_beam_fn(config, len(prefix_ids))
+        tokens, scores, lens = self._beam_jit[key](
+            self.params, jnp.asarray(memory), jnp.asarray(prefix)
+        )
+        return np.asarray(tokens)[:b], np.asarray(scores)[:b], np.asarray(lens)[:b]
+
+    # -- sampling ---------------------------------------------------------------
+
+    def _build_sample_fn(self, sampler, max_gen_len: int, min_gen_len: int,
+                         prefix_len: int):
+        model = self.model
+        vocab = model.config.vocab_info.size
+        eos = model.config.vocab_info.eos_idx
+        pad = model.config.vocab_info.pad_idx or 0
+
+        def fn(params, memory, prefix, rng):
+            cache = model.init_cache(
+                params, memory, max_len=prefix_len + max_gen_len + 1
+            )
+
+            def step_fn(tokens, cache):
+                logits, cache = model.step(params, tokens, cache)
+                return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), cache
+
+            return sample_lax(
+                step_fn, cache, prefix, eos, vocab, sampler, rng,
+                max_gen_len, min_gen_len, pad_idx=pad,
+            )
+
+        return jax.jit(fn)
+
+    def generate_sample(
+        self,
+        memory: np.ndarray,
+        prefix_ids: Sequence[int],
+        sampler,
+        max_gen_len: int,
+        min_gen_len: int = 1,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        b = memory.shape[0]
+        b_pad = round_up_pow2(b)
+        if b_pad != b:
+            memory = np.concatenate(
+                [memory, np.zeros((b_pad - b,) + memory.shape[1:], memory.dtype)]
+            )
+        prefix = np.tile(np.asarray(prefix_ids, np.int32)[None, :], (b_pad, 1))
+        key = (sampler, max_gen_len, min_gen_len, len(prefix_ids))
+        if key not in self._sample_jit:
+            self._sample_jit[key] = self._build_sample_fn(
+                sampler, max_gen_len, min_gen_len, len(prefix_ids)
+            )
+        tokens, scores, lens = self._sample_jit[key](
+            self.params, jnp.asarray(memory), jnp.asarray(prefix),
+            jax.random.PRNGKey(seed),
+        )
+        return np.asarray(tokens)[:b], np.asarray(scores)[:b], np.asarray(lens)[:b]

@@ -1,0 +1,94 @@
+"""Sequence-to-text conversion: translation and embedding-to-text.
+
+Counterparts of fairseq2's ``SequenceToTextConverter`` / ``TextTranslator``
+(used by the reference at ``sonar/inference_pipelines/text.py:110-115,
+322-327``). The NLLB decoder prompt is ``[</s>, <target_lang>]`` (the
+tokenizer's "target" mode prefix); hypotheses are cut at EOS and
+SentencePiece-decoded with control tokens filtered.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sonar_tpu.data.collate import Collater, DEFAULT_LEN_BUCKETS
+from sonar_tpu.generation.beam_search import BeamSearchConfig
+
+
+def _decode_hypotheses(tokenizer, tokens: np.ndarray, lens: np.ndarray) -> List[str]:
+    """tokens: [B, T] best hypotheses (generated part incl. eos)."""
+    decoder = tokenizer.create_decoder()
+    out = []
+    for row, ln in zip(tokens, lens):
+        ids = [int(t) for t in row[: int(ln)]]
+        out.append(decoder(ids))
+    return out
+
+
+class EmbeddingToTextConverter:
+    def __init__(
+        self,
+        decoder,
+        tokenizer,
+        target_lang: str,
+        gen_config: BeamSearchConfig,
+        sampler=None,
+        seed: int = 0,
+    ):
+        self.decoder = decoder
+        self.tokenizer = tokenizer
+        self.gen_config = gen_config
+        self.sampler = sampler
+        self.seed = seed
+        target_encoder = tokenizer.create_encoder(lang=target_lang, mode="target")
+        self.prefix_ids: List[int] = list(target_encoder.prefix_indices)
+
+    def batch_convert(self, embeddings: np.ndarray) -> List[str]:
+        """[B, D] sentence embeddings -> B decoded strings."""
+        memory = np.asarray(embeddings, np.float32)[:, None, :]
+        if self.sampler is not None:
+            tokens, _, lens = self.decoder.generate_sample(
+                memory,
+                self.prefix_ids,
+                self.sampler,
+                max_gen_len=self.gen_config.max_gen_len,
+                min_gen_len=self.gen_config.min_gen_len,
+                seed=self.seed,
+            )
+            return _decode_hypotheses(self.tokenizer, tokens, lens)
+        tokens, _, lens = self.decoder.generate_beam(
+            memory, self.prefix_ids, self.gen_config
+        )
+        return _decode_hypotheses(self.tokenizer, tokens[:, 0], lens[:, 0])
+
+
+class TextTranslator:
+    """source texts -> embeddings (via encoder) -> target texts (via decoder)."""
+
+    def __init__(
+        self,
+        encoder,
+        decoder,
+        tokenizer,
+        source_lang: str,
+        target_lang: str,
+        gen_config: BeamSearchConfig,
+    ):
+        self.encoder = encoder
+        self.converter = EmbeddingToTextConverter(
+            decoder, tokenizer, target_lang, gen_config
+        )
+        self.tokenizer = tokenizer
+        self.source_encoder = tokenizer.create_encoder(lang=source_lang, mode="source")
+        pad = tokenizer.vocab_info.pad_idx
+        self.collater = Collater(pad, len_buckets=DEFAULT_LEN_BUCKETS)
+
+    def batch_translate(self, texts: Sequence[str]) -> List[str]:
+        token_lists = [self.source_encoder(t) for t in texts]
+        max_len = self.encoder.max_source_len
+        token_lists = [ids[:max_len] for ids in token_lists]
+        batch = self.collater(token_lists)
+        embeddings = self.encoder.encode_batch(batch)
+        return self.converter.batch_convert(embeddings)

@@ -1,0 +1,295 @@
+"""Text inference pipelines (public API).
+
+Mirrors the reference API surface (``sonar/inference_pipelines/text.py``):
+``TextToEmbeddingModelPipeline``, ``TextToTextModelPipeline``,
+``EmbeddingToTextModelPipeline`` — same ``predict`` signatures/semantics
+(length-sorted token-budget batching, truncation warning, order
+restoration), rebuilt TPU-first:
+
+- host pipeline tokenizes/buckets/pads to *static shape buckets* feeding a
+  jit-compiled encoder (one XLA program per bucket, cached),
+- ``prefetch`` overlaps host tokenization with device compute,
+- generation runs the ``lax.while_loop`` beam-search/sampler (generation/).
+
+Models are passed as bundle objects (model+params) or asset-card names.
+"""
+
+from __future__ import annotations
+
+import warnings
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonar_tpu.data.collate import Collater, DEFAULT_LEN_BUCKETS, SequenceBatch
+from sonar_tpu.data.pipeline import read_sequence, read_text
+from sonar_tpu.inference_pipelines.utils import add_progress_bar, precision_context
+from sonar_tpu.models.sonar_text.model import SonarTextEncoder
+
+
+def _len_buckets_for(max_len: int) -> tuple:
+    return tuple(b for b in DEFAULT_LEN_BUCKETS if b < max_len) + (max_len,)
+
+
+class JitTextEncoder:
+    """Shape-bucketed jit wrapper around a SonarTextEncoder + params."""
+
+    def __init__(self, model: SonarTextEncoder, params):
+        self.model = model
+        self.params = params
+        self._fn = jax.jit(
+            lambda p, seqs, lens: model.apply(p, seqs, lens).sentence_embeddings
+        )
+
+    @property
+    def dtype(self):
+        return self.model.dtype
+
+    @property
+    def max_source_len(self) -> int:
+        return self.model.max_source_len
+
+    def encode_batch(self, batch: SequenceBatch) -> np.ndarray:
+        emb = self._fn(self.params, jnp.asarray(batch.seqs), jnp.asarray(batch.seq_lens))
+        return np.asarray(emb)[: batch.true_batch]
+
+
+def _resolve_encoder(encoder) -> JitTextEncoder:
+    if isinstance(encoder, JitTextEncoder):
+        return encoder
+    if isinstance(encoder, str):
+        from sonar_tpu.assets.hub import load_text_encoder
+
+        return load_text_encoder(encoder)
+    if isinstance(encoder, tuple) and isinstance(encoder[0], SonarTextEncoder):
+        return JitTextEncoder(encoder[0], encoder[1])
+    raise TypeError(
+        "encoder must be a card name, JitTextEncoder, or (SonarTextEncoder, params)"
+    )
+
+
+def _resolve_tokenizer(tokenizer):
+    if isinstance(tokenizer, str):
+        from sonar_tpu.assets.hub import load_tokenizer
+
+        return load_tokenizer(tokenizer)
+    return tokenizer
+
+
+class TextToEmbeddingModelPipeline:
+    """Texts -> [N, model_dim] sentence embeddings.
+
+    Reference semantics: ``sonar/inference_pipelines/text.py:140-269``.
+    """
+
+    def __init__(
+        self,
+        encoder,
+        tokenizer,
+        device=None,
+        dtype=None,
+    ) -> None:
+        self.model = _resolve_encoder(encoder)
+        self.tokenizer = _resolve_tokenizer(tokenizer)
+        self.device = device
+
+    def predict(
+        self,
+        input: Union[str, Path, Sequence[str]],
+        source_lang: str,
+        batch_size: Optional[int] = 5,
+        batch_max_tokens: Optional[int] = None,
+        max_seq_len: Optional[int] = None,
+        progress_bar: bool = False,
+        target_device=None,
+    ) -> np.ndarray:
+        if batch_max_tokens is None and batch_size is None:
+            raise ValueError(
+                "at least one of `batch_size` or `batch_max_tokens` should be provided"
+            )
+        if batch_max_tokens is not None and batch_max_tokens <= 0:
+            raise ValueError("`batch_max_tokens` should be strictly positive")
+        if batch_size is not None and batch_size <= 0:
+            raise ValueError("`batch_size` should be strictly positive")
+
+        tokenizer_encoder = self.tokenizer.create_encoder(lang=source_lang)
+        model_max_len = self.model.max_source_len
+        if max_seq_len is None:
+            max_seq_len = model_max_len
+        elif max_seq_len > model_max_len:
+            raise ValueError(
+                f"max_seq_len cannot be larger than max_seq_len of the encoder model: {model_max_len}"
+            )
+
+        n_truncated = 0
+
+        def truncate(ids: List[int]) -> List[int]:
+            nonlocal n_truncated
+            if len(ids) > max_seq_len:
+                n_truncated += 1
+                return ids[:max_seq_len]
+            return ids
+
+        if isinstance(input, (str, Path)):
+            builder = read_text(Path(input))
+            sorting_index = None
+        else:
+            sorting_index = np.argsort([len(s) for s in input], kind="stable")
+            builder = read_sequence([input[i] for i in sorting_index])
+
+        pad_idx = self.tokenizer.vocab_info.pad_idx
+        collater = Collater(pad_idx, len_buckets=_len_buckets_for(max_seq_len))
+
+        pipeline = (
+            builder.map(tokenizer_encoder)
+            .map(truncate)
+            .dynamic_bucket(
+                batch_max_tokens or 2**31,
+                len,
+                min_num_examples=1,
+                max_num_examples=batch_size or 20_000,
+                drop_remainder=False,
+            )
+            .map(collater)
+            .prefetch(2)
+            .map(self.model.encode_batch)
+            .and_return()
+        )
+        iterable = pipeline
+        if progress_bar:
+            iterable = add_progress_bar(
+                pipeline,
+                inputs=input,
+                batch_size=batch_size if batch_max_tokens is None else None,
+            )
+
+        with precision_context(self.model.dtype):
+            results = list(iter(iterable))
+
+        if n_truncated:
+            warnings.warn(
+                f"For {n_truncated} input tensors for SONAR text encoder, "
+                f"the length was truncated to {max_seq_len} elements."
+            )
+
+        embeddings = np.concatenate(results, axis=0)
+        if sorting_index is not None:
+            reversed_index = np.argsort(sorting_index, kind="stable")
+            embeddings = embeddings[reversed_index]
+        return embeddings
+
+
+class TextToTextModelPipeline:
+    """Texts -> translated texts via the 1024-d embedding bottleneck.
+
+    Reference: ``sonar/inference_pipelines/text.py:57-137``.
+    """
+
+    def __init__(self, encoder, decoder, tokenizer, device=None, dtype=None) -> None:
+        from sonar_tpu.generation.text_converter import TextTranslator
+
+        self.model = _resolve_encoder(encoder)
+        self.decoder = _resolve_decoder(decoder)
+        self.tokenizer = _resolve_tokenizer(tokenizer)
+        self._translator_cls = TextTranslator
+
+    def predict(
+        self,
+        input: Union[str, Path, Sequence[str]],
+        source_lang: str,
+        target_lang: str,
+        batch_size: int = 5,
+        progress_bar: bool = False,
+        **generator_kwargs,
+    ) -> List[str]:
+        from sonar_tpu.generation.beam_search import BeamSearchConfig
+
+        gen_config = BeamSearchConfig.from_kwargs(
+            self.decoder.max_target_len, **generator_kwargs
+        )
+        translator = self._translator_cls(
+            encoder=self.model,
+            decoder=self.decoder,
+            tokenizer=self.tokenizer,
+            source_lang=source_lang,
+            target_lang=target_lang,
+            gen_config=gen_config,
+        )
+        builder = (
+            read_text(Path(input))
+            if isinstance(input, (str, Path))
+            else read_sequence(list(input))
+        )
+        pipeline = builder.bucket(batch_size).map(translator.batch_translate).and_return()
+        iterable = pipeline
+        if progress_bar:
+            iterable = add_progress_bar(pipeline, inputs=input, batch_size=batch_size)
+        with precision_context(self.model.dtype):
+            results = list(iter(iterable))
+        return [x for y in results for x in y]
+
+
+class EmbeddingToTextModelPipeline:
+    """[N, model_dim] embeddings -> texts (beam search or sampling).
+
+    Reference: ``sonar/inference_pipelines/text.py:272-346``.
+    """
+
+    def __init__(self, decoder, tokenizer, device=None, dtype=None) -> None:
+        self.decoder = _resolve_decoder(decoder)
+        self.tokenizer = _resolve_tokenizer(tokenizer)
+
+    def predict(
+        self,
+        inputs: np.ndarray,
+        target_lang: str,
+        batch_size: int = 5,
+        progress_bar: bool = False,
+        sampler=None,
+        **generator_kwargs,
+    ) -> List[str]:
+        from sonar_tpu.generation.beam_search import BeamSearchConfig
+        from sonar_tpu.generation.text_converter import EmbeddingToTextConverter
+
+        gen_config = BeamSearchConfig.from_kwargs(
+            self.decoder.max_target_len, **generator_kwargs
+        )
+        converter = EmbeddingToTextConverter(
+            decoder=self.decoder,
+            tokenizer=self.tokenizer,
+            target_lang=target_lang,
+            gen_config=gen_config,
+            sampler=sampler,
+        )
+        inputs = np.asarray(inputs)
+        pipeline = (
+            read_sequence(list(inputs))
+            .bucket(batch_size)
+            .map(lambda chunk: converter.batch_convert(np.stack(chunk)))
+            .and_return()
+        )
+        iterable = pipeline
+        if progress_bar:
+            iterable = add_progress_bar(pipeline, inputs=inputs, batch_size=batch_size)
+        with precision_context(self.decoder.dtype):
+            results = list(iter(iterable))
+        return [x for y in results for x in y]
+
+
+def _resolve_decoder(decoder):
+    from sonar_tpu.generation.decoder_runtime import JitTextDecoder
+
+    if isinstance(decoder, JitTextDecoder):
+        return decoder
+    if isinstance(decoder, str):
+        from sonar_tpu.assets.hub import load_text_decoder
+
+        return load_text_decoder(decoder)
+    if isinstance(decoder, tuple):
+        return JitTextDecoder(decoder[0], decoder[1])
+    raise TypeError(
+        "decoder must be a card name, JitTextDecoder, or (ConditionalTransformerDecoder, params)"
+    )

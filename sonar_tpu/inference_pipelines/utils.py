@@ -1,0 +1,47 @@
+"""Pipeline utilities: device transfer, precision context, progress bars.
+
+Counterparts of ``sonar/inference_pipelines/utils.py:18-46`` and the
+``precision_context`` at ``text.py:36-54``.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import math
+from typing import Iterable, Optional, Sized
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def precision_context(dtype):
+    """Map model dtype -> XLA matmul precision (reference text.py:36-54).
+
+    fp32 models get 'highest' (true fp32 MXU passes) for numerical parity;
+    bf16/fp16 run at the fast default.
+    """
+    if dtype in (jnp.float32, jnp.float64):
+        with jax.default_matmul_precision("highest"):
+            yield
+    else:
+        yield
+
+
+def add_progress_bar(
+    iterable: Iterable,
+    inputs: Optional[Sized] = None,
+    batch_size: Optional[int] = None,
+):
+    """Wrap with tqdm when available (reference utils.py:24-46)."""
+    try:
+        from tqdm.auto import tqdm
+    except Exception:  # pragma: no cover - tqdm always present in practice
+        return iterable
+    total = None
+    if inputs is not None and batch_size:
+        try:
+            total = math.ceil(len(inputs) / batch_size)
+        except TypeError:
+            total = None
+    return tqdm(iterable, total=total)

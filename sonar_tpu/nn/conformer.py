@@ -1,0 +1,252 @@
+"""Conformer encoder blocks with Transformer-XL relative-position attention.
+
+Implements the w2v-BERT Conformer stack used by SONAR's speech encoders.
+The exact parameterization is pinned by the reference checkpoint key-map
+(``sonar/models/sonar_speech/handler.py:63-100``):
+
+- block = 0.5*ffn1 -> rel-pos self-attn -> conv module -> 0.5*ffn2 -> LN
+  (macaron half-step FFNs, all pre-LN, trailing per-block LayerNorm),
+- rel-pos SDPA with ``r_proj`` (projected sinusoidal relative encodings),
+  ``u_bias``/``v_bias`` (Transformer-XL content/position biases),
+- conv module = pointwise(2d)+GLU -> depthwise(k=31) -> batchnorm -> SiLU
+  -> pointwise, pre-LN, residual,
+- FFNs use SiLU (w2v-BERT).
+
+TPU notes: the relative-position term is computed as one einsum over the
+[2S-1] distance table plus a static gather (index arithmetic is
+compile-time); depthwise conv lowers to a single ``conv_general_dilated``
+with ``feature_group_count=D``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonar_tpu.nn.core import Params, init_layer_norm, init_linear, layer_norm, linear
+from sonar_tpu.nn.position import sinusoidal_table
+from sonar_tpu.nn.transformer import _merge_heads, _split_heads, stack_layers
+
+
+@dataclass(frozen=True)
+class ConformerConfig:
+    model_dim: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    ffn_inner_dim: int = 4096
+    depthwise_kernel_size: int = 31
+    dropout_p: float = 0.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.model_dim // self.num_heads
+
+
+# ---------------------------------------------------------------------------
+# Relative position attention (Transformer-XL / w2v-BERT style)
+# ---------------------------------------------------------------------------
+
+def rel_pos_table(seq_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[2S-1, D] encodings for distances [S-1 .. -(S-1)] (descending),
+    interleaved-free fairseq layout via the shared sinusoidal table."""
+    # distance d -> row index (S-1-d); build from |positions| with sign via
+    # the standard sin/cos table over positions 0..2S-2 shifted.
+    positions = np.arange(seq_len - 1, -seq_len, -1, dtype=np.float64)  # S-1..-(S-1)
+    half = dim // 2
+    inv_freq = np.exp(
+        np.arange(half, dtype=np.float64) * (-np.log(10000.0) / (half - 1))
+    )
+    args = positions[:, None] * inv_freq[None, :]
+    table = np.concatenate([np.sin(args), np.cos(args)], axis=1)
+    if dim % 2 == 1:
+        table = np.concatenate([table, np.zeros((table.shape[0], 1))], axis=1)
+    return jnp.asarray(table, dtype)
+
+
+def init_rel_pos_attention(rng: jax.Array, cfg: ConformerConfig, dtype=jnp.float32) -> Params:
+    rngs = jax.random.split(rng, 6)
+    d = cfg.model_dim
+    return {
+        "q_proj": init_linear(rngs[0], d, d, dtype=dtype),
+        "k_proj": init_linear(rngs[1], d, d, dtype=dtype),
+        "v_proj": init_linear(rngs[2], d, d, dtype=dtype),
+        "output_proj": init_linear(rngs[3], d, d, dtype=dtype),
+        "sdpa": {
+            "r_proj": init_linear(rngs[4], d, d, bias=False, dtype=dtype),
+            "u_bias": jax.random.normal(rngs[5], (cfg.num_heads, cfg.head_dim), dtype)
+            * 0.02,
+            "v_bias": jnp.zeros((cfg.num_heads, cfg.head_dim), dtype),
+        },
+    }
+
+
+def rel_pos_attention(
+    params: Params,
+    x: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    cfg: ConformerConfig,
+) -> jnp.ndarray:
+    """x: [B, S, D] -> [B, S, D] with Transformer-XL scoring:
+    score(i,j) = (q_i+u)k_j + (q_i+v)r_{i-j}, scaled by 1/sqrt(head_dim)."""
+    b, s, d = x.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    q = _split_heads(linear(params["q_proj"], x), h)           # [B,H,S,hd]
+    k = _split_heads(linear(params["k_proj"], x), h)
+    v = _split_heads(linear(params["v_proj"], x), h)
+
+    r = rel_pos_table(s, d, x.dtype)                           # [2S-1, D]
+    r = linear(params["sdpa"]["r_proj"], r)                    # [2S-1, D]
+    r = r.reshape(2 * s - 1, h, hd)                            # [2S-1, H, hd]
+
+    u = params["sdpa"]["u_bias"].astype(x.dtype)               # [H, hd]
+    vb = params["sdpa"]["v_bias"].astype(x.dtype)
+
+    ac = jnp.einsum(
+        "bhid,bhjd->bhij", q + u[None, :, None, :], k,
+        preferred_element_type=jnp.float32,
+    )
+    bd_full = jnp.einsum(
+        "bhid,phd->bhip", q + vb[None, :, None, :], r,
+        preferred_element_type=jnp.float32,
+    )                                                          # [B,H,S,2S-1]
+    # Distance d = i - j lives at table row (S-1-d) = S-1-i+j: static gather.
+    rows = jnp.arange(s)[:, None]
+    cols = jnp.arange(s)[None, :]
+    gather_idx = (s - 1) - rows + cols                          # [S, S]
+    bd = jnp.take_along_axis(
+        bd_full, jnp.broadcast_to(gather_idx, (b, h, s, s)), axis=3
+    )
+
+    scores = (ac + bd) * (1.0 / np.sqrt(hd))
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhij,bhjd->bhid", probs, v, preferred_element_type=jnp.float32)
+    return linear(params["output_proj"], _merge_heads(out.astype(x.dtype)))
+
+
+# ---------------------------------------------------------------------------
+# Convolution module
+# ---------------------------------------------------------------------------
+
+def init_conv_module(rng: jax.Array, cfg: ConformerConfig, dtype=jnp.float32) -> Params:
+    r1, r2, r3 = jax.random.split(rng, 3)
+    d, k = cfg.model_dim, cfg.depthwise_kernel_size
+    return {
+        "pointwise_conv1": {"kernel": init_linear(r1, d, 2 * d, bias=False, dtype=dtype)["kernel"]},
+        "depthwise_conv": {"kernel": jax.random.normal(r2, (k, 1, d), dtype) * (1.0 / np.sqrt(k))},
+        "batch_norm": {
+            "weight": jnp.ones((d,), dtype),
+            "bias": jnp.zeros((d,), dtype),
+            "running_mean": jnp.zeros((d,), dtype),
+            "running_var": jnp.ones((d,), dtype),
+        },
+        "pointwise_conv2": {"kernel": init_linear(r3, d, d, bias=False, dtype=dtype)["kernel"]},
+    }
+
+
+def conv_module(
+    params: Params, x: jnp.ndarray, pad_mask: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """[B, S, D] Conformer convolution (inference batch-norm w/ running stats).
+
+    Padded positions are zeroed before the depthwise conv so no information
+    leaks across the padding boundary.
+    """
+    if pad_mask is not None:
+        x = jnp.where(pad_mask[..., None], x, 0.0)
+    y = jnp.matmul(x, params["pointwise_conv1"]["kernel"].astype(x.dtype))
+    a, g = jnp.split(y, 2, axis=-1)
+    y = a * jax.nn.sigmoid(g)                                   # GLU
+    k = params["depthwise_conv"]["kernel"].astype(x.dtype)      # [K, 1, D]
+    pad = (k.shape[0] - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        y,
+        k,
+        window_strides=(1,),
+        padding=[(pad, k.shape[0] - 1 - pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=y.shape[-1],
+    )
+    bn = params["batch_norm"]
+    y32 = y.astype(jnp.float32)
+    y32 = (y32 - bn["running_mean"]) * jax.lax.rsqrt(bn["running_var"] + 1e-5)
+    y = (y32 * bn["weight"] + bn["bias"]).astype(x.dtype)
+    y = jax.nn.silu(y)
+    return jnp.matmul(y, params["pointwise_conv2"]["kernel"].astype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Conformer block + stack
+# ---------------------------------------------------------------------------
+
+def init_conformer_block(rng: jax.Array, cfg: ConformerConfig, dtype=jnp.float32) -> Params:
+    rngs = jax.random.split(rng, 4)
+    d, f = cfg.model_dim, cfg.ffn_inner_dim
+
+    def ffn_params(r):
+        r1, r2 = jax.random.split(r)
+        return {
+            "inner_proj": init_linear(r1, d, f, dtype=dtype),
+            "output_proj": init_linear(r2, f, d, dtype=dtype),
+        }
+
+    return {
+        "ffn1_layer_norm": init_layer_norm(d, dtype),
+        "ffn1": ffn_params(rngs[0]),
+        "self_attn_layer_norm": init_layer_norm(d, dtype),
+        "self_attn": init_rel_pos_attention(rngs[1], cfg, dtype),
+        "conv_layer_norm": init_layer_norm(d, dtype),
+        "conv": init_conv_module(rngs[2], cfg, dtype),
+        "ffn2_layer_norm": init_layer_norm(d, dtype),
+        "ffn2": ffn_params(rngs[3]),
+        "layer_norm": init_layer_norm(d, dtype),
+    }
+
+
+def _half_ffn(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return linear(params["output_proj"], jax.nn.silu(linear(params["inner_proj"], x)))
+
+
+def conformer_block(
+    params: Params,
+    x: jnp.ndarray,
+    attn_bias: Optional[jnp.ndarray],
+    pad_mask: Optional[jnp.ndarray],
+    cfg: ConformerConfig,
+) -> jnp.ndarray:
+    x = x + 0.5 * _half_ffn(params["ffn1"], layer_norm(params["ffn1_layer_norm"], x))
+    x = x + rel_pos_attention(
+        params["self_attn"], layer_norm(params["self_attn_layer_norm"], x),
+        attn_bias, cfg,
+    )
+    x = x + conv_module(params["conv"], layer_norm(params["conv_layer_norm"], x), pad_mask)
+    x = x + 0.5 * _half_ffn(params["ffn2"], layer_norm(params["ffn2_layer_norm"], x))
+    return layer_norm(params["layer_norm"], x)
+
+
+def init_conformer_stack(rng: jax.Array, cfg: ConformerConfig, dtype=jnp.float32) -> Params:
+    return stack_layers(
+        [init_conformer_block(r, cfg, dtype) for r in jax.random.split(rng, cfg.num_layers)]
+    )
+
+
+def conformer_stack(
+    stacked: Params,
+    x: jnp.ndarray,
+    attn_bias: Optional[jnp.ndarray],
+    pad_mask: Optional[jnp.ndarray],
+    cfg: ConformerConfig,
+    remat: bool = False,
+) -> jnp.ndarray:
+    def body(carry, layer_params):
+        return conformer_block(layer_params, carry, attn_bias, pad_mask, cfg), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, stacked)
+    return x

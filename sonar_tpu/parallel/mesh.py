@@ -1,0 +1,88 @@
+"""Device mesh + sharding rules for SONAR-TPU.
+
+The reference has no distributed layer at all (SURVEY §2.4: no
+torch.distributed/NCCL anywhere); scale-out here is new, TPU-native
+capability following the standard JAX recipe: build a Mesh, annotate
+parameter/data shardings with NamedSpec rules, jit, and let GSPMD insert the
+collectives over ICI.
+
+Axes:
+- ``data``: batch-dimension data parallelism (encode fleets, training DP),
+- ``model``: tensor parallelism over attention heads / FFN hidden dim /
+  embedding vocab (Megatron-style column->row pairs; XLA inserts the psum).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    if data == -1:
+        assert len(devs) % model == 0, (len(devs), model)
+        data = len(devs) // model
+    if data * model != len(devs):
+        devs = devs[: data * model]
+    arr = np.asarray(devs).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+# -- parameter sharding rules -------------------------------------------------
+#
+# Rules keyed on (path suffix patterns). Layer-stacked leaves have a leading
+# L axis, so kernels are [L, in, out] and biases [L, out]; frontend embeds
+# are [V, D].
+
+def _spec_for_path(path: str, ndim: int) -> P:
+    def last_axes(*axes):
+        """Pad spec with leading Nones so it applies to the trailing dims."""
+        return P(*([None] * (ndim - len(axes)) + list(axes)))
+
+    # Column-parallel: split output dim.
+    if any(s in path for s in ("q_proj/kernel", "k_proj/kernel", "v_proj/kernel",
+                               "inner_proj/kernel")):
+        return last_axes(None, "model")
+    if any(s in path for s in ("q_proj/bias", "k_proj/bias", "v_proj/bias",
+                               "inner_proj/bias")):
+        return last_axes("model")
+    # Row-parallel: split input dim; XLA adds the psum on the matmul.
+    if any(s in path for s in ("output_proj/kernel",)):
+        return last_axes("model", None)
+    # Embedding: shard the vocab dim (row-parallel gather + psum).
+    if path.endswith("embed/weight") and ndim == 2:
+        return P("model", None)
+    return P()  # replicate LNs, output_proj bias, small tables
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedSharding matching the TP rules above."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = []
+    for path, leaf in flat:
+        pstr = jax.tree_util.keystr(path, simple=True, separator="/")
+        specs.append(NamedSharding(mesh, _spec_for_path(pstr, np.ndim(leaf))))
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def data_sharding(mesh: Mesh, *batch_axes_specs) -> NamedSharding:
+    if batch_axes_specs:
+        return NamedSharding(mesh, P(*batch_axes_specs))
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a host pytree onto the mesh according to the TP rules."""
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, NamedSharding(mesh, P()))

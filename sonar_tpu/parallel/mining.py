@@ -1,0 +1,145 @@
+"""Sharded cosine-similarity mining + xsim/xsim++ evaluation.
+
+SONAR's headline quality claim is xsim/xsim++ multilingual retrieval
+(reference README.md:5); the reference repo delegates the metric to
+external tooling. SONAR-TPU implements it natively, TPU-first:
+
+- the embedding bank is sharded across the mesh's ``data`` axis,
+- each device computes a [N, M/D] cosine block (one MXU matmul) and its
+  local top-k, then a single ``all_gather`` of k-sized candidate lists
+  merges to the global top-k — O(N*k*D_devices) bytes over ICI instead of
+  the full [N, M] score matrix,
+- margin-based scoring (ratio/distance/absolute) as defined by the LASER
+  xsim protocol.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def cosine_topk(
+    queries: jnp.ndarray, bank: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-device exact top-k cosine: -> (scores [N,k], indices [N,k])."""
+    q = l2_normalize(queries.astype(jnp.float32))
+    b = l2_normalize(bank.astype(jnp.float32))
+    sim = jnp.einsum("nd,md->nm", q, b, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(sim, k)
+
+
+def sharded_cosine_topk(
+    queries: jnp.ndarray,
+    bank: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    axis: str = "data",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bank sharded over ``axis``; queries replicated. Exact global top-k.
+
+    Local top-k per shard, then all_gather of the k candidates and a merge —
+    the collective moves N*k*n_dev scores instead of N*M.
+    """
+    n_dev = mesh.shape[axis]
+    m = bank.shape[0]
+    shard = -(-m // n_dev)  # ceil
+    if shard * n_dev != m:
+        pad = shard * n_dev - m
+        bank = jnp.concatenate(
+            [bank, jnp.zeros((pad, bank.shape[1]), bank.dtype)], axis=0
+        )
+
+    def local(q, b_shard):
+        idx = jax.lax.axis_index(axis)
+        scores, indices = cosine_topk(q, b_shard, k)
+        # Padded rows are zero vectors -> cosine 0; mask by global index.
+        gidx = indices + idx * shard
+        scores = jnp.where(gidx < m, scores, -jnp.inf)
+        all_scores = jax.lax.all_gather(scores, axis, axis=0)  # [D, N, k]
+        all_idx = jax.lax.all_gather(gidx, axis, axis=0)
+        cat_s = jnp.moveaxis(all_scores, 0, 1).reshape(q.shape[0], -1)
+        cat_i = jnp.moveaxis(all_idx, 0, 1).reshape(q.shape[0], -1)
+        top_s, pos = jax.lax.top_k(cat_s, k)
+        top_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return top_s, top_i
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        # Outputs are replicated by construction (post-all_gather merge);
+        # the static varying-mesh-axes checker cannot prove it.
+        check_vma=False,
+    )
+    return fn(queries, bank)
+
+
+def _margin_scores(
+    sim: jnp.ndarray, avg_x: jnp.ndarray, avg_y: jnp.ndarray, margin: str
+) -> jnp.ndarray:
+    if margin == "ratio":
+        return sim / ((avg_x[:, None] + avg_y[None, :]) / 2.0)
+    if margin == "distance":
+        return sim - (avg_x[:, None] + avg_y[None, :]) / 2.0
+    if margin == "absolute":
+        return sim
+    raise ValueError(f"unknown margin: {margin}")
+
+
+def xsim(
+    x: np.ndarray,
+    y: np.ndarray,
+    k: int = 4,
+    margin: str = "ratio",
+) -> float:
+    """xsim error rate (%) of margin-based nearest-neighbor alignment.
+
+    x, y: parallel [N, D] embedding matrices (row i of x translates row i
+    of y). Lower is better; 0.0 = perfect retrieval.
+    """
+    xn = np.asarray(l2_normalize(jnp.asarray(x, jnp.float32)))
+    yn = np.asarray(l2_normalize(jnp.asarray(y, jnp.float32)))
+    sim = xn @ yn.T                                    # [N, N]
+    kk = min(k, sim.shape[1])
+    topk_xy = np.sort(sim, axis=1)[:, -kk:]            # x -> y neighborhood
+    topk_yx = np.sort(sim.T, axis=1)[:, -kk:]          # y -> x neighborhood
+    avg_x = topk_xy.mean(axis=1)
+    avg_y = topk_yx.mean(axis=1)
+    scores = np.asarray(_margin_scores(jnp.asarray(sim), jnp.asarray(avg_x),
+                                       jnp.asarray(avg_y), margin))
+    pred = scores.argmax(axis=1)
+    err = (pred != np.arange(sim.shape[0])).mean()
+    return float(err * 100.0)
+
+
+def xsim_pp(
+    x: np.ndarray,
+    y: np.ndarray,
+    y_distractors: np.ndarray,
+    k: int = 4,
+    margin: str = "ratio",
+) -> float:
+    """xsim++: same protocol with distractor targets appended to y."""
+    y_all = np.concatenate([np.asarray(y), np.asarray(y_distractors)], axis=0)
+    xn = np.asarray(l2_normalize(jnp.asarray(x, jnp.float32)))
+    yn = np.asarray(l2_normalize(jnp.asarray(y_all, jnp.float32)))
+    sim = xn @ yn.T
+    kk = min(k, sim.shape[1])
+    avg_x = np.sort(sim, axis=1)[:, -kk:].mean(axis=1)
+    avg_y = np.sort(sim.T, axis=1)[:, -kk:].mean(axis=1)
+    scores = np.asarray(_margin_scores(jnp.asarray(sim), jnp.asarray(avg_x),
+                                       jnp.asarray(avg_y), margin))
+    pred = scores.argmax(axis=1)
+    err = (pred != np.arange(sim.shape[0])).mean()
+    return float(err * 100.0)

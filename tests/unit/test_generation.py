@@ -1,0 +1,121 @@
+"""Generation: jitted lax beam search vs eager Python oracle; sampling."""
+
+import dataclasses
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from sonar_tpu.generation.beam_search import (
+    BeamSearchConfig,
+    beam_search_lax,
+    beam_search_oracle,
+)
+from sonar_tpu.generation.decoder_runtime import JitTextDecoder
+from sonar_tpu.generation.sampling import TopKSampler, TopPSampler
+from sonar_tpu.models.sonar_text.config import sonar_text_decoder_archs
+from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
+
+VOCAB = 64
+
+
+def _tiny_decoder():
+    cfg = dataclasses.replace(
+        sonar_text_decoder_archs.get("toy"),
+        vocab_info=dataclasses.replace(
+            sonar_text_decoder_archs.get("toy").vocab_info, size=VOCAB
+        ),
+    )
+    dec = ConditionalTransformerDecoder(cfg)
+    params = dec.init_params(jax.random.PRNGKey(7))
+    return dec, params
+
+
+def _oracle_logprob_fn(dec, params, memory_row):
+    def fn(seqs):
+        arr = jnp.asarray(seqs, jnp.int32)
+        mem = jnp.tile(memory_row, (arr.shape[0], 1, 1))
+        logits = dec.forward(params, arr, None, mem)
+        lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+        return np.asarray(lp)
+
+    return fn
+
+
+def test_beam_search_lax_matches_oracle():
+    dec, params = _tiny_decoder()
+    eos = dec.config.vocab_info.eos_idx
+    prefix = [eos, 5]
+    config = BeamSearchConfig(beam_size=3, max_gen_len=8, len_penalty=1.0)
+
+    rng = jax.random.PRNGKey(3)
+    for i in range(3):
+        memory = jax.random.normal(jax.random.fold_in(rng, i), (1, 1, dec.config.model_dim))
+        want_tokens, want_score = beam_search_oracle(
+            _oracle_logprob_fn(dec, params, memory), prefix, eos, config
+        )
+
+        runtime = JitTextDecoder(dec, params)
+        tokens, scores, lens = runtime.generate_beam(np.asarray(memory), prefix, config)
+        got = tokens[0, 0][: int(lens[0, 0])].tolist()
+        assert got == want_tokens, f"case {i}: {got} != {want_tokens}"
+        np.testing.assert_allclose(scores[0, 0], want_score, atol=1e-4)
+
+
+def test_beam_search_batched_consistency():
+    """Each batch row must decode as if alone."""
+    dec, params = _tiny_decoder()
+    eos = dec.config.vocab_info.eos_idx
+    config = BeamSearchConfig(beam_size=2, max_gen_len=6)
+    runtime = JitTextDecoder(dec, params)
+
+    mem = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(11), (3, 1, dec.config.model_dim))
+    )
+    tok_b, sc_b, len_b = runtime.generate_beam(mem, [eos, 5], config)
+    for i in range(3):
+        tok_1, sc_1, len_1 = runtime.generate_beam(mem[i : i + 1], [eos, 5], config)
+        assert tok_b[i, 0][: len_b[i, 0]].tolist() == tok_1[0, 0][: len_1[0, 0]].tolist()
+        np.testing.assert_allclose(sc_b[i, 0], sc_1[0, 0], atol=1e-4)
+
+
+def test_greedy_sampling_matches_beam1():
+    """top-k=1 sampling == beam size 1 (greedy), when argmax is unique."""
+    dec, params = _tiny_decoder()
+    eos = dec.config.vocab_info.eos_idx
+    runtime = JitTextDecoder(dec, params)
+    mem = np.asarray(jax.random.normal(jax.random.PRNGKey(5), (2, 1, dec.config.model_dim)))
+
+    b_tok, _, b_len = runtime.generate_beam(
+        mem, [eos, 5], BeamSearchConfig(beam_size=1, max_gen_len=6, normalize_scores=False)
+    )
+    s_tok, _, s_len = runtime.generate_sample(
+        mem, [eos, 5], TopKSampler(k=1), max_gen_len=6
+    )
+    for i in range(2):
+        assert s_tok[i][: s_len[i]].tolist() == b_tok[i, 0][: b_len[i, 0]].tolist()
+
+
+def test_top_p_sampler_filters():
+    lp = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    filtered = TopPSampler(p=0.7).filter_logprobs(lp)
+    kept = np.asarray(filtered[0]) > -1e29
+    assert kept.tolist() == [True, True, False, False]
+
+    filtered_k = TopKSampler(k=2).filter_logprobs(lp)
+    kept_k = np.asarray(filtered_k[0]) > -1e29
+    assert kept_k.tolist() == [True, True, False, False]
+
+
+def test_min_gen_len_bans_early_eos():
+    dec, params = _tiny_decoder()
+    eos = dec.config.vocab_info.eos_idx
+    runtime = JitTextDecoder(dec, params)
+    mem = np.asarray(jax.random.normal(jax.random.PRNGKey(9), (1, 1, dec.config.model_dim)))
+    config = BeamSearchConfig(beam_size=2, max_gen_len=6, min_gen_len=3)
+    tokens, _, lens = runtime.generate_beam(mem, [eos, 5], config)
+    assert int(lens[0, 0]) >= 3

@@ -1,0 +1,81 @@
+"""Mesh sharding: TP/DP forward parity, sharded mining, train step."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
+from sonar_tpu.parallel.mesh import data_sharding, make_mesh, param_shardings, shard_params
+from sonar_tpu.parallel.mining import cosine_topk, sharded_cosine_topk, xsim, xsim_pp
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _toy_encoder():
+    cfg = dataclasses.replace(
+        sonar_text_encoder_archs.get("toy"), model_dim=64, ffn_inner_dim=256,
+        num_encoder_attn_heads=4,
+    )
+    model = SonarTextEncoder(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_tp_dp_forward_matches_single_device():
+    model, params = _toy_encoder()
+    seqs = jnp.asarray(
+        np.random.default_rng(0).integers(4, 1000, size=(8, 12)), jnp.int32
+    )
+    lens = jnp.full((8,), 12, jnp.int32)
+
+    want = model.apply(params, seqs, lens).sentence_embeddings
+
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        p_sh = shard_params(params, mesh)
+        s_sh = jax.device_put(seqs, data_sharding(mesh, "data", None))
+        l_sh = jax.device_put(lens, data_sharding(mesh, "data"))
+        got = jax.jit(lambda p, s, l: model.apply(p, s, l).sentence_embeddings)(
+            p_sh, s_sh, l_sh
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_param_shardings_split_ffn():
+    model, params = _toy_encoder()
+    mesh = make_mesh(data=4, model=2)
+    sh = param_shardings(params, mesh)
+    spec = sh["encoder"]["layers"]["ffn"]["inner_proj"]["kernel"].spec
+    assert spec[-1] == "model"
+    spec_out = sh["encoder"]["layers"]["ffn"]["output_proj"]["kernel"].spec
+    assert spec_out[-2] == "model"
+    # LayerNorms replicated.
+    assert sh["layer_norm"]["weight"].spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_cosine_topk_matches_dense():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+    bank = jnp.asarray(rng.normal(size=(100, 32)).astype(np.float32))
+    want_s, want_i = cosine_topk(q, bank, 5)
+
+    mesh = make_mesh(data=8, model=1)
+    mesh1d = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    got_s, got_i = sharded_cosine_topk(q, bank, 5, mesh1d)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_xsim_perfect_and_noisy():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(50, 16)).astype(np.float32)
+    assert xsim(x, x) == 0.0
+    y = np.roll(x, 1, axis=0)  # fully misaligned
+    assert xsim(x, y) == 100.0
+    # xsim++ with distractors: still perfect when distractors are far.
+    assert xsim_pp(x, x, x + 100.0) == 0.0

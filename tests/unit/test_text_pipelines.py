@@ -1,0 +1,136 @@
+"""End-to-end text pipelines on toy models + synthetic NLLB tokenizer."""
+
+import dataclasses
+import sys
+import warnings
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from helpers import build_toy_nllb
+
+from sonar_tpu import (
+    EmbeddingToTextModelPipeline,
+    TextToEmbeddingModelPipeline,
+    TextToTextModelPipeline,
+)
+from sonar_tpu.generation.sampling import TopPSampler
+from sonar_tpu.models.sonar_text import (
+    SonarTextEncoder,
+    sonar_text_decoder_archs,
+    sonar_text_encoder_archs,
+)
+from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
+
+SENTENCES = [
+    "hello world",
+    "my name is paul",
+    "i work as a teacher",
+    "the cat sat on the mat",
+    "hello",
+]
+
+
+@pytest.fixture(scope="module")
+def toy_bundle(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tok")
+    tok = build_toy_nllb(tmp)
+    enc_cfg = dataclasses.replace(
+        sonar_text_encoder_archs.get("toy"),
+        vocab_info=dataclasses.replace(
+            sonar_text_encoder_archs.get("toy").vocab_info, size=len(tok.model)
+        ),
+    )
+    dec_cfg = dataclasses.replace(
+        sonar_text_decoder_archs.get("toy"),
+        vocab_info=dataclasses.replace(
+            sonar_text_decoder_archs.get("toy").vocab_info, size=len(tok.model)
+        ),
+    )
+    encoder = SonarTextEncoder(enc_cfg)
+    enc_params = encoder.init_params(jax.random.PRNGKey(0))
+    decoder = ConditionalTransformerDecoder(dec_cfg)
+    dec_params = decoder.init_params(jax.random.PRNGKey(1))
+    return tok, (encoder, enc_params), (decoder, dec_params)
+
+
+def test_text_to_embedding_order_and_shape(toy_bundle):
+    tok, enc, _ = toy_bundle
+    pipe = TextToEmbeddingModelPipeline(encoder=enc, tokenizer=tok)
+    emb = pipe.predict(SENTENCES, source_lang="eng_Latn", batch_size=2)
+    assert emb.shape == (5, 32)
+    assert np.isfinite(emb).all()
+
+
+def test_batching_invariance(toy_bundle):
+    """Reference test_order_preserving analogue: embeddings must not depend
+    on batch_size / batch_max_tokens choices."""
+    tok, enc, _ = toy_bundle
+    pipe = TextToEmbeddingModelPipeline(encoder=enc, tokenizer=tok)
+    base = pipe.predict(SENTENCES, source_lang="eng_Latn", batch_size=1)
+    for kwargs in (
+        dict(batch_size=2),
+        dict(batch_size=len(SENTENCES)),
+        dict(batch_size=None, batch_max_tokens=8),
+        dict(batch_size=None, batch_max_tokens=30),
+    ):
+        got = pipe.predict(SENTENCES, source_lang="eng_Latn", **kwargs)
+        np.testing.assert_allclose(got, base, atol=1e-5, err_msg=str(kwargs))
+
+
+def test_file_input(toy_bundle, tmp_path):
+    tok, enc, _ = toy_bundle
+    f = tmp_path / "input.txt"
+    f.write_text("\n".join(SENTENCES) + "\n")
+    pipe = TextToEmbeddingModelPipeline(encoder=enc, tokenizer=tok)
+    from_file = pipe.predict(f, source_lang="eng_Latn", batch_size=2)
+    from_list = pipe.predict(SENTENCES, source_lang="eng_Latn", batch_size=2)
+    np.testing.assert_allclose(from_file, from_list, atol=1e-5)
+
+
+def test_truncation_warning(toy_bundle):
+    tok, enc, _ = toy_bundle
+    pipe = TextToEmbeddingModelPipeline(encoder=enc, tokenizer=tok)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        pipe.predict(["hello world hello world hello"], source_lang="eng_Latn",
+                     max_seq_len=4)
+        assert any("truncated" in str(x.message) for x in w)
+
+
+def test_max_seq_len_validation(toy_bundle):
+    tok, enc, _ = toy_bundle
+    pipe = TextToEmbeddingModelPipeline(encoder=enc, tokenizer=tok)
+    with pytest.raises(ValueError):
+        pipe.predict(SENTENCES, source_lang="eng_Latn", max_seq_len=10_000)
+    with pytest.raises(ValueError):
+        pipe.predict(SENTENCES, source_lang="eng_Latn", batch_size=None)
+
+
+def test_embedding_to_text_and_back(toy_bundle):
+    tok, enc, dec = toy_bundle
+    embed = TextToEmbeddingModelPipeline(encoder=enc, tokenizer=tok)
+    emb = embed.predict(SENTENCES[:2], source_lang="eng_Latn", batch_size=2)
+    e2t = EmbeddingToTextModelPipeline(decoder=dec, tokenizer=tok)
+    texts = e2t.predict(emb, target_lang="eng_Latn", max_seq_len=8)
+    assert len(texts) == 2
+    assert all(isinstance(t, str) for t in texts)
+
+    sampled = e2t.predict(
+        emb, target_lang="eng_Latn", max_seq_len=8, sampler=TopPSampler(p=0.9)
+    )
+    assert len(sampled) == 2
+
+
+def test_text_to_text(toy_bundle):
+    tok, enc, dec = toy_bundle
+    t2t = TextToTextModelPipeline(encoder=enc, decoder=dec, tokenizer=tok)
+    out = t2t.predict(
+        SENTENCES[:3], source_lang="eng_Latn", target_lang="fra_Latn",
+        batch_size=2, max_seq_len=8,
+    )
+    assert len(out) == 3
+    assert all(isinstance(t, str) for t in out)

@@ -1,0 +1,117 @@
+"""Native SentencePiece: proto roundtrip, Viterbi, NLLB/LASER2 wrappers."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from helpers import build_toy_nllb, build_toy_spm, build_toy_spm_proto
+
+from sonar_tpu.tokenizers.laser2 import Laser2Tokenizer
+from sonar_tpu.tokenizers.spm import SentencePieceModel
+from sonar_tpu.tokenizers.spm_proto import (
+    ModelProto,
+    SentencePieceProto as P,
+    TrainerSpecProto,
+    parse_model_proto,
+    serialize_model_proto,
+)
+
+
+def test_proto_roundtrip():
+    proto = build_toy_spm_proto(byte_fallback=True)
+    blob = serialize_model_proto(proto)
+    back = parse_model_proto(blob)
+    assert [p.piece for p in back.pieces] == [p.piece for p in proto.pieces]
+    assert back.trainer.unk_id == 1 and back.trainer.pad_id == 1
+    assert back.trainer.byte_fallback
+    assert back.normalizer.add_dummy_prefix
+
+
+def test_negative_special_id_roundtrip():
+    proto = ModelProto(pieces=[P("<unk>", 0.0, 2)], trainer=TrainerSpecProto(pad_id=-1))
+    back = parse_model_proto(serialize_model_proto(proto))
+    assert back.trainer.pad_id == -1
+
+
+def test_viterbi_prefers_high_score_segmentation():
+    pieces = [
+        P("<unk>", 0.0, 2),
+        P("<s>", 0.0, 3),
+        P("</s>", 0.0, 3),
+        P("▁ab", -1.0),
+        P("▁a", -0.4),
+        P("b", -0.4),
+        P("▁", -3.0),
+        P("a", -3.0),
+    ]
+    proto = ModelProto(pieces=pieces, trainer=TrainerSpecProto(unk_id=0, bos_id=1, eos_id=2))
+    m = SentencePieceModel(serialize_model_proto(proto))
+    # ▁a + b scores -0.8 > ▁ab -1.0
+    assert m.encode_as_pieces("ab") == ["▁a", "b"]
+
+    # Flip the balance and re-check.
+    pieces[3] = P("▁ab", -0.5)
+    m2 = SentencePieceModel(serialize_model_proto(ModelProto(pieces=pieces, trainer=proto.trainer)))
+    assert m2.encode_as_pieces("ab") == ["▁ab"]
+
+
+def test_roundtrip_decode(tmp_path):
+    m = build_toy_spm(tmp_path)
+    for text in ("hello world", "my name is paul", "the cat sat on the mat"):
+        assert m.decode(m.encode(text)) == text
+
+
+def test_whitespace_normalization(tmp_path):
+    m = build_toy_spm(tmp_path)
+    assert m.encode("hello   world") == m.encode("hello world")
+    assert m.encode(" hello world ") == m.encode("hello world")
+
+
+def test_byte_fallback(tmp_path):
+    m = build_toy_spm(tmp_path, byte_fallback=True)
+    ids = m.encode("héllo")  # é not in vocab -> bytes
+    assert all(0 <= i < len(m) for i in ids)
+    assert m.decode(ids) == "héllo"
+
+
+def test_unk_without_byte_fallback(tmp_path):
+    m = build_toy_spm(tmp_path)
+    ids = m.encode("hé")
+    assert m.unk_idx in ids
+
+
+def test_nllb_source_and_target_modes(tmp_path):
+    tok = build_toy_nllb(tmp_path)
+    enc = tok.create_encoder(lang="eng_Latn")
+    ids = enc("hello world")
+    assert ids[0] == tok.lang_token_id("eng_Latn")
+    assert ids[-1] == tok.vocab_info.eos_idx
+    dec_ids = tok.create_encoder(lang="fra_Latn", mode="target")
+    assert dec_ids.prefix_indices == [
+        tok.vocab_info.eos_idx,
+        tok.lang_token_id("fra_Latn"),
+    ]
+    # decode filters control tokens (lang + eos)
+    assert tok.decode(ids) == "hello world"
+
+
+def test_nllb_vocab_layout(tmp_path):
+    tok = build_toy_nllb(tmp_path)
+    base = build_toy_spm(tmp_path)
+    assert len(tok.model) == len(base) + 3  # 2 langs + <MINED_DATA>
+    assert tok.vocab_info.unk_idx == 1
+    assert tok.vocab_info.pad_idx == 1
+    assert tok.vocab_info.eos_idx == 3
+
+
+def test_laser2_id_offset(tmp_path):
+    blob = serialize_model_proto(build_toy_spm_proto())
+    p = tmp_path / "laser2.model"
+    p.write_bytes(blob)
+    tok = Laser2Tokenizer(p)
+    enc = tok.create_encoder()
+    raw = tok.create_raw_encoder()("hello") + [3]  # + </s>
+    shifted = enc("hello")
+    assert shifted == [i + 4 if i >= 3 else i for i in raw]
