@@ -52,6 +52,68 @@ def load_text_decoder(name: str, dtype=jnp.float32):
     return JitTextDecoder(model, params)
 
 
+def load_speech_encoder(name: str, dtype=jnp.float32):
+    from sonar_tpu.assets.checkpoint_speech import speech_encoder_params
+    from sonar_tpu.inference_pipelines.speech import JitSpeechEncoder
+    from sonar_tpu.models.sonar_speech.config import sonar_speech_encoder_archs
+    from sonar_tpu.models.sonar_speech.model import SonarSpeechEncoder
+
+    card = default_store().model_card(name)
+    if card.family != "sonar_speech_encoder":
+        raise ValueError(f"'{name}' is a {card.family} card, not a speech encoder")
+    config = sonar_speech_encoder_archs.get(card.arch)
+    model = SonarSpeechEncoder(config, dtype=dtype)
+    flat = ckpt.load_torch_state_dict(cached_path(card.checkpoint))
+    params = speech_encoder_params(flat)
+    if dtype != jnp.float32:
+        import jax
+
+        params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
+    return JitSpeechEncoder(model, params)
+
+
+def load_blaser_model(name: str):
+    """-> (BlaserModel, params). Reference: ``sonar/models/blaser/loader.py``."""
+    from sonar_tpu.models.blaser.model import (
+        BlaserModel,
+        blaser_archs,
+        blaser_params_from_torch,
+    )
+
+    card = default_store().model_card(name)
+    config = blaser_archs.get(card.arch)
+    flat = ckpt.load_torch_state_dict(cached_path(card.checkpoint))
+    return BlaserModel(config), blaser_params_from_torch(flat)
+
+
+def load_mutox_model(name: str):
+    """-> (MutoxClassifier, params). Reference: ``sonar/models/mutox/loader.py``."""
+    from sonar_tpu.models.mutox.model import (
+        MutoxClassifier,
+        mutox_archs,
+        mutox_params_from_torch,
+    )
+
+    card = default_store().model_card(name)
+    config = mutox_archs.get(card.arch)
+    flat = ckpt.load_torch_state_dict(cached_path(card.checkpoint))
+    return MutoxClassifier(config), mutox_params_from_torch(flat)
+
+
+def load_laser2_model(name: str):
+    """-> (LaserLstmEncoder, params)."""
+    from sonar_tpu.models.laser2_text.model import (
+        LaserLstmEncoder,
+        laser2_archs,
+        laser2_params_from_torch,
+    )
+
+    card = default_store().model_card(name)
+    config = laser2_archs.get(card.arch)
+    flat = ckpt.load_torch_state_dict(cached_path(card.checkpoint))
+    return LaserLstmEncoder(config), laser2_params_from_torch(flat)
+
+
 def load_tokenizer(name: str):
     store = default_store()
     card = store.tokenizer_card(name)

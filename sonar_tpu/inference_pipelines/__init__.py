@@ -14,3 +14,7 @@ try:  # speech stack (requires ops/fbank); kept importable standalone
     )
 except ImportError:  # pragma: no cover
     pass
+
+from sonar_tpu.inference_pipelines.mutox_speech import (  # noqa: F401
+    MutoxSpeechClassifierPipeline,
+)

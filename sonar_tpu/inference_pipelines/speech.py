@@ -1,0 +1,305 @@
+"""Speech inference pipelines (public API).
+
+Mirrors the reference surface (``sonar/inference_pipelines/speech.py``):
+``SpeechToEmbeddingModelPipeline`` / ``SpeechToTextModelPipeline`` (list
+input: wav paths or [1,T]/[T] 16 kHz arrays) and the TSV-driven
+``SpeechToEmbeddingPipeline`` / ``SpeechToTextPipeline`` builders with
+``SpeechInferenceParams``.
+
+TPU-first rebuild: audio is decoded on host threads, but fbank extraction
+moved ON DEVICE — waveforms are collated into padded static-bucket batches
+and (fbank -> w2v-BERT frontend -> 24 Conformer blocks -> pooler) runs as a
+single jitted XLA program per shape bucket. The reference's host/device
+boundary after the C++ fbank (``speech.py:144-147``) disappears.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sonar_tpu.data.audio import AudioDecoder, FileMapper
+from sonar_tpu.data.collate import round_up_pow2
+from sonar_tpu.data.pipeline import DataPipelineBuilder, read_sequence, read_text
+from sonar_tpu.inference_pipelines.utils import add_progress_bar
+from sonar_tpu.models.sonar_speech.model import SonarSpeechEncoder
+from sonar_tpu.ops.fbank import FbankConfig, batched_fbank, num_frames
+
+# Wave-length buckets (seconds at 16 kHz): bounds XLA compilations.
+WAVE_BUCKETS = tuple(int(s * 16000) for s in (1, 2, 4, 8, 15, 30, 60))
+
+
+def _bucket_len(n: int) -> int:
+    for b in WAVE_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 16000 - 1) // 16000) * 16000
+
+
+class JitSpeechEncoder:
+    """Waveform batches -> embeddings, fused fbank+encoder jit per bucket."""
+
+    def __init__(self, model: SonarSpeechEncoder, params, fbank_config=FbankConfig()):
+        self.model = model
+        self.params = params
+        self.fbank_config = fbank_config
+
+        def fn(params, waves, wave_lens, max_frames):
+            feats, frame_lens = batched_fbank(
+                waves, wave_lens, max_frames, self.fbank_config
+            )
+            out = model.apply(params, feats, frame_lens)
+            return out.sentence_embeddings
+
+        self._fn = jax.jit(fn, static_argnames=("max_frames",))
+
+    @property
+    def dtype(self):
+        return self.model.dtype
+
+    @property
+    def model_dim(self) -> int:
+        return self.model.config.model_dim
+
+    def encode_waveforms(self, waves: List[np.ndarray]) -> np.ndarray:
+        """List of [T] float32 mono waveforms -> [N, model_dim]."""
+        b = len(waves)
+        max_t = _bucket_len(max(w.shape[0] for w in waves))
+        b_pad = round_up_pow2(b)
+        batch = np.zeros((b_pad, max_t), np.float32)
+        lens = np.zeros((b_pad,), np.int32)
+        for i, w in enumerate(waves):
+            batch[i, : w.shape[0]] = w
+            lens[i] = w.shape[0]
+        max_frames = num_frames(max_t, self.fbank_config)
+        emb = self._fn(self.params, jnp.asarray(batch), jnp.asarray(lens), max_frames)
+        return np.asarray(emb)[:b]
+
+
+def _resolve_speech_encoder(encoder) -> JitSpeechEncoder:
+    if isinstance(encoder, JitSpeechEncoder):
+        return encoder
+    if isinstance(encoder, str):
+        from sonar_tpu.assets.hub import load_speech_encoder
+
+        return load_speech_encoder(encoder)
+    if isinstance(encoder, tuple) and isinstance(encoder[0], SonarSpeechEncoder):
+        return JitSpeechEncoder(encoder[0], encoder[1])
+    raise TypeError(
+        "encoder must be a card name, JitSpeechEncoder, or (SonarSpeechEncoder, params)"
+    )
+
+
+def _to_mono_wave(decoded: dict) -> np.ndarray:
+    wave = np.asarray(decoded["waveform"], np.float32)
+    if wave.ndim == 2:
+        wave = wave.mean(axis=1) if wave.shape[1] > 1 else wave[:, 0]
+    return wave
+
+
+class SpeechModelPipelineInterface:
+    """Shared decode plumbing (reference ``speech.py:277-308``)."""
+
+    def __init__(self):
+        self.audio_decoder = AudioDecoder()
+
+    def _decode_audio(self, inp) -> np.ndarray:
+        if isinstance(inp, np.ndarray):
+            return _to_mono_wave(self.audio_decoder(inp))
+        if hasattr(inp, "numpy"):  # torch tensor [1, T]
+            return _to_mono_wave(self.audio_decoder(np.asarray(inp)))
+        return _to_mono_wave(self.audio_decoder(Path(str(inp))))
+
+
+class SpeechToEmbeddingModelPipeline(SpeechModelPipelineInterface):
+    def __init__(self, encoder, device=None, fbank_dtype=None) -> None:
+        super().__init__()
+        self.model = _resolve_speech_encoder(encoder)
+
+    def predict(
+        self,
+        input: Sequence,
+        batch_size: int = 3,
+        n_parallel: int = 1,
+        pad_idx: int = 0,
+        n_prefetched_batches: int = 2,
+        progress_bar: bool = False,
+    ) -> np.ndarray:
+        pipeline = (
+            read_sequence(list(input))
+            .map(self._decode_audio, num_parallel_calls=n_parallel)
+            .bucket(batch_size)
+            .prefetch(n_prefetched_batches)
+            .map(self.model.encode_waveforms)
+            .and_return()
+        )
+        iterable = pipeline
+        if progress_bar:
+            iterable = add_progress_bar(pipeline, inputs=input, batch_size=batch_size)
+        results = list(iter(iterable))
+        return np.concatenate(results, axis=0)
+
+
+class SpeechToTextModelPipeline(SpeechModelPipelineInterface):
+    def __init__(self, encoder, decoder, tokenizer, device=None, fbank_dtype=None) -> None:
+        super().__init__()
+        from sonar_tpu.inference_pipelines.text import (
+            _resolve_decoder,
+            _resolve_tokenizer,
+        )
+
+        self.model = _resolve_speech_encoder(encoder)
+        self.decoder = _resolve_decoder(decoder)
+        self.tokenizer = _resolve_tokenizer(tokenizer)
+
+    def predict(
+        self,
+        input: Sequence,
+        target_lang: str,
+        batch_size: int = 3,
+        n_parallel: int = 1,
+        pad_idx: int = 0,
+        n_prefetched_batches: int = 2,
+        progress_bar: bool = False,
+        **generator_kwargs,
+    ) -> List[str]:
+        from sonar_tpu.generation.beam_search import BeamSearchConfig
+        from sonar_tpu.generation.text_converter import EmbeddingToTextConverter
+
+        gen_config = BeamSearchConfig.from_kwargs(
+            self.decoder.max_target_len, **generator_kwargs
+        )
+        converter = EmbeddingToTextConverter(
+            self.decoder, self.tokenizer, target_lang, gen_config
+        )
+
+        def generate(waves: List[np.ndarray]) -> List[str]:
+            emb = self.model.encode_waveforms(waves)
+            return converter.batch_convert(emb)
+
+        pipeline = (
+            read_sequence(list(input))
+            .map(self._decode_audio, num_parallel_calls=n_parallel)
+            .bucket(batch_size)
+            .prefetch(n_prefetched_batches)
+            .map(generate)
+            .and_return()
+        )
+        iterable = pipeline
+        if progress_bar:
+            iterable = add_progress_bar(pipeline, inputs=input, batch_size=batch_size)
+        results = list(iter(iterable))
+        return [x for y in results for x in y]
+
+
+# ---------------------------------------------------------------------------
+# TSV-driven builder variants (reference speech.py:40-274)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SpeechInferenceParams:
+    data_file: Path
+    audio_root_dir: Path
+    audio_path_index: int
+    batch_size: int
+    fbank_dtype: object = None
+    target_lang: Optional[str] = None
+    pad_idx: int = 0
+    device: object = None
+    n_parallel: int = 4
+    n_prefetched_batches: int = 4
+
+
+class AudioToFbankDataPipelineBuilder:
+    """TSV -> decoded waveform batches (fbank happens on device downstream)."""
+
+    def prebuild_pipeline(self, context: SpeechInferenceParams) -> DataPipelineBuilder:
+        mapper = FileMapper(root_dir=context.audio_root_dir, cached_fd_count=10)
+        decoder = AudioDecoder()
+
+        def split_tsv(line: str) -> dict:
+            return {"audio": line.split("\t")[context.audio_path_index]}
+
+        def decode(entry: dict) -> np.ndarray:
+            return _to_mono_wave(decoder(entry["data"]))
+
+        return (
+            read_text(context.data_file)
+            .skip(1)
+            .map(split_tsv)
+            .map(mapper, selector="audio", num_parallel_calls=context.n_parallel)
+            .map(lambda item: decode(item["audio"]), num_parallel_calls=context.n_parallel)
+            .bucket(context.batch_size)
+            .prefetch(context.n_prefetched_batches)
+        )
+
+
+class SpeechToEmbeddingPipeline:
+    def __init__(self, model) -> None:
+        self.model = _resolve_speech_encoder(model)
+        self._audio_builder = AudioToFbankDataPipelineBuilder()
+
+    @classmethod
+    def load_model_from_name(cls, encoder_name: str) -> "SpeechToEmbeddingPipeline":
+        return cls(encoder_name)
+
+    def prebuild_pipeline(self, context: SpeechInferenceParams) -> DataPipelineBuilder:
+        return self._audio_builder.prebuild_pipeline(context).map(
+            self.model.encode_waveforms
+        )
+
+    def build_pipeline(self, context: SpeechInferenceParams):
+        return self.prebuild_pipeline(context).and_return()
+
+
+class SpeechToTextPipeline:
+    def __init__(self, model, tokenizer) -> None:
+        from sonar_tpu.inference_pipelines.text import _resolve_tokenizer
+
+        self.encoder, self.decoder = model
+        self.tokenizer = _resolve_tokenizer(tokenizer)
+        self._audio_builder = AudioToFbankDataPipelineBuilder()
+
+    @classmethod
+    def load_model_from_name(
+        cls, encoder_name: str, decoder_name: str
+    ) -> "SpeechToTextPipeline":
+        from sonar_tpu.assets.hub import (
+            load_speech_encoder,
+            load_text_decoder,
+            load_tokenizer,
+        )
+        from sonar_tpu.assets.store import default_store
+
+        card = default_store().model_card(decoder_name)
+        tokenizer = load_tokenizer(card.tokenizer or decoder_name)
+        return cls(
+            (load_speech_encoder(encoder_name), load_text_decoder(decoder_name)),
+            tokenizer,
+        )
+
+    def prebuild_pipeline(self, context: SpeechInferenceParams) -> DataPipelineBuilder:
+        from sonar_tpu.generation.beam_search import BeamSearchConfig
+        from sonar_tpu.generation.text_converter import EmbeddingToTextConverter
+
+        assert context.target_lang is not None
+        encoder = _resolve_speech_encoder(self.encoder)
+        converter = EmbeddingToTextConverter(
+            self.decoder,
+            self.tokenizer,
+            context.target_lang,
+            BeamSearchConfig.from_kwargs(self.decoder.max_target_len),
+        )
+
+        def generate(waves: List[np.ndarray]) -> List[str]:
+            return converter.batch_convert(encoder.encode_waveforms(waves))
+
+        return self._audio_builder.prebuild_pipeline(context).map(generate)
+
+    def build_pipeline(self, context: SpeechInferenceParams):
+        return self.prebuild_pipeline(context).and_return()

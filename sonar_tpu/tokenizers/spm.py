@@ -95,6 +95,8 @@ class SentencePieceModel:
         self._min_score = min(scores, default=0.0)
         self._unk_score = self._min_score - UNK_PENALTY
         self.model_type = t.model_type
+        self._native = None
+        self._native_failed = False
 
     def _resolve_special(self, declared: int, ptype, piece: str = "") -> Optional[int]:
         if declared is not None and declared >= 0:
@@ -164,8 +166,31 @@ class SentencePieceModel:
         if not s:
             return []
         if self.model_type == MODEL_UNIGRAM:
+            native = self._native_encoder()
+            if native is not None:
+                return native.encode_normalized(s)
             return self._viterbi(s)
         return self._longest_match(s)
+
+    def _native_encoder(self):
+        """C++ Viterbi core (sonar_tpu/native); falls back to Python."""
+        if self._native is not None or self._native_failed:
+            return self._native
+        try:
+            from sonar_tpu.native import NativeSpmEncoder
+
+            items = sorted(self._seg_index.items(), key=lambda kv: kv[1])
+            self._native = NativeSpmEncoder(
+                pieces=[p for p, _ in items],
+                ids=[i for _, i in items],
+                scores=[self._scores[i] for _, i in items],
+                unk_id=self.unk_idx if self.unk_idx is not None else 0,
+                unk_score=self._unk_score,
+                byte_ids=self._byte_ids if self.byte_fallback else {},
+            )
+        except Exception:
+            self._native_failed = True
+        return self._native
 
     def encode_as_pieces(self, text: str) -> List[str]:
         return [self._pieces[i] for i in self.encode(text)]

@@ -1,0 +1,67 @@
+"""Native C++ SPM core: bit-identical to the pure-Python Viterbi, and fast."""
+
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from helpers import build_toy_spm
+
+from sonar_tpu.native import load_library
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    lib = load_library()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_native_matches_python(native_lib, tmp_path):
+    m = build_toy_spm(tmp_path)
+    texts = [
+        "hello world",
+        "my name is paul",
+        "the cat sat on the mat",
+        "hxllo wqrld zz",
+        "a",
+        "",
+        "hello   world  ",
+    ]
+    for t in texts:
+        s = m.normalize(t)
+        native = m._native_encoder()
+        assert native is not None
+        py = m._viterbi(s) if s else []
+        nat = native.encode_normalized(s) if s else []
+        assert nat == py, f"mismatch on {t!r}: {nat} != {py}"
+
+
+def test_native_byte_fallback(native_lib, tmp_path):
+    m = build_toy_spm(tmp_path, byte_fallback=True)
+    for t in ("héllo", "日本語 hello"):
+        s = m.normalize(t)
+        py = m._viterbi(s)
+        nat = m._native_encoder().encode_normalized(s)
+        assert nat == py
+        assert m.decode(nat) == m.decode(py)
+
+
+def test_native_is_used_and_faster(native_lib, tmp_path):
+    m = build_toy_spm(tmp_path)
+    text = m.normalize("hello world my name is paul " * 30)
+
+    native = m._native_encoder()
+    n_iter = 200
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        native.encode_normalized(text)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        m._viterbi(text)
+    t_python = time.perf_counter() - t0
+    assert t_native < t_python, (t_native, t_python)
