@@ -1,0 +1,110 @@
+"""HF datasets integration: segmentation, text<->embedding columns, audio."""
+
+import dataclasses
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from helpers import build_toy_nllb
+
+datasets = pytest.importorskip("datasets")
+
+from sonar_tpu.huggingface.pipeline import DatasetConfig
+from sonar_tpu.huggingface.text import (
+    HFEmbeddingToTextPipeline,
+    HFEmbeddingToTextPipelineConfig,
+    HFTextToEmbeddingPipeline,
+    HFTextToEmbeddingPipelineConfig,
+    TextSegmentationPipeline,
+    TextSegmentationPipelineConfig,
+    split_sentences,
+)
+
+
+def _toy_models(tmp_path):
+    from sonar_tpu.models.sonar_text import (
+        SonarTextEncoder,
+        sonar_text_decoder_archs,
+        sonar_text_encoder_archs,
+    )
+    from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
+
+    tok = build_toy_nllb(tmp_path)
+    ecfg = dataclasses.replace(
+        sonar_text_encoder_archs.get("toy"),
+        vocab_info=dataclasses.replace(
+            sonar_text_encoder_archs.get("toy").vocab_info, size=len(tok.model)
+        ),
+    )
+    dcfg = dataclasses.replace(
+        sonar_text_decoder_archs.get("toy"),
+        vocab_info=dataclasses.replace(
+            sonar_text_decoder_archs.get("toy").vocab_info, size=len(tok.model)
+        ),
+    )
+    enc = SonarTextEncoder(ecfg)
+    dec = ConditionalTransformerDecoder(dcfg)
+    return (
+        tok,
+        (enc, enc.init_params(jax.random.PRNGKey(0))),
+        (dec, dec.init_params(jax.random.PRNGKey(1))),
+    )
+
+
+def test_split_sentences():
+    text = "Hello world. My name is Dr. Smith! Is it ok? Yes."
+    sents = split_sentences(text)
+    assert sents == ["Hello world.", "My name is Dr. Smith!", "Is it ok?", "Yes."]
+    assert split_sentences("") == []
+    assert split_sentences("One sentence only") == ["One sentence only"]
+
+
+def test_segmentation_pipeline_policies():
+    ds_cfg = TextSegmentationPipelineConfig(columns=["text"], handle_missing="fill",
+                                            fill_value="n/a")
+    pipe = TextSegmentationPipeline(ds_cfg)
+    out = pipe.process_batch({"text": ["Alpha beta. Gamma delta.", None]})
+    assert out["text_output"][0] == ["Alpha beta.", "Gamma delta."]
+    assert out["text_output"][1] == ["n/a"]
+
+    skip = TextSegmentationPipeline(
+        TextSegmentationPipelineConfig(columns=["text"], handle_missing="skip")
+    )
+    out2 = skip.process_batch({"text": [None]})
+    assert out2["text_output"] == [[]]
+
+
+def test_hf_text_to_embedding_and_back(tmp_path):
+    tok, enc, dec = _toy_models(tmp_path)
+    ds = datasets.Dataset.from_dict(
+        {"text": ["hello world", "my name is paul"],
+         "nested": [["hello", "world hello"], ["the cat"]]}
+    )
+    cfg = HFTextToEmbeddingPipelineConfig(
+        columns=["text", "nested"], encoder_model=enc, tokenizer=tok,
+        batch_size=2, output_column_suffix="emb",
+    )
+    out = HFTextToEmbeddingPipeline(cfg)(ds)
+    assert len(out["text_emb"]) == 2
+    assert len(out["text_emb"][0]) == 32
+    assert [len(v) for v in out["nested_emb"]] == [2, 1]
+
+    dcfg = HFEmbeddingToTextPipelineConfig(
+        columns=["text_emb"], decoder_model=dec, tokenizer=tok,
+        target_lang="eng_Latn", batch_size=2, output_column_suffix="text",
+        max_seq_len=6,
+    )
+    out2 = HFEmbeddingToTextPipeline(dcfg)(out)
+    assert len(out2["text_emb_text"]) == 2
+    assert all(isinstance(t, str) for t in out2["text_emb_text"])
+
+
+def test_dataset_config_sharding():
+    ds = datasets.Dataset.from_dict({"x": list(range(10))})
+    cfg = DatasetConfig(dataset_name="unused", world_size=2, rank=1)
+    shard = ds.shard(num_shards=cfg.world_size, index=cfg.rank)
+    assert len(shard) == 5
