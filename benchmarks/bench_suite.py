@@ -1,0 +1,115 @@
+"""Full benchmark suite: the BASELINE.json metric set.
+
+- text encode sentences/sec/chip (headline; also in ../bench.py),
+- p50 beam-decode latency (embedding -> 32 tokens, beam 5),
+- speech-encode RTFx (seconds of audio processed per second).
+
+Run: ``python benchmarks/bench_suite.py``. Prints one JSON object. All
+workloads use dependency-safe timing (distinct inputs per iteration, host
+materialization) — see bench.py for why.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_text_encode(batch=256, seq_len=32, iters=10):
+    from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
+
+    model = SonarTextEncoder(sonar_text_encoder_archs.get("basic"), dtype=jnp.bfloat16)
+    init = jax.jit(lambda k: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), model.init_params(k)))
+    params = init(jax.random.PRNGKey(0))
+    fn = jax.jit(lambda p, s, l: model.apply(p, s, l).sentence_embeddings)
+    rng = np.random.default_rng(0)
+    batches = [
+        (jnp.asarray(rng.integers(4, 256000, size=(batch, seq_len)), jnp.int32),
+         jnp.asarray(rng.integers(12, seq_len + 1, size=(batch,)), jnp.int32))
+        for _ in range(iters)
+    ]
+    np.asarray(fn(params, *batches[0]))
+    t0 = time.perf_counter()
+    outs = [fn(params, s, l) for s, l in batches]
+    for o in outs:
+        np.asarray(o)
+    dt = time.perf_counter() - t0
+    return {"sentences_per_sec": round(batch * iters / dt, 1)}
+
+
+def bench_beam_decode(batch=8, beam=5, gen_len=32, iters=5):
+    from sonar_tpu.generation.beam_search import BeamSearchConfig
+    from sonar_tpu.generation.decoder_runtime import JitTextDecoder
+    from sonar_tpu.models.sonar_text import sonar_text_decoder_archs
+    from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
+
+    model = ConditionalTransformerDecoder(
+        sonar_text_decoder_archs.get("basic"), dtype=jnp.bfloat16
+    )
+    init = jax.jit(lambda k: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), model.init_params(k)))
+    params = init(jax.random.PRNGKey(0))
+    runtime = JitTextDecoder(model, params)
+    config = BeamSearchConfig(beam_size=beam, max_gen_len=gen_len, min_gen_len=gen_len)
+    rng = np.random.default_rng(0)
+    memories = [rng.normal(size=(batch, 1, 1024)).astype(np.float32)
+                for _ in range(iters)]
+    runtime.generate_beam(memories[0], [3, 256002], config)  # warmup/compile
+    lat = []
+    for mem in memories:
+        t0 = time.perf_counter()
+        runtime.generate_beam(mem, [3, 256002], config)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    return {
+        "p50_latency_ms": round(p50 * 1e3, 1),
+        "tokens_per_sec": round(batch * gen_len / p50, 1),
+    }
+
+
+def bench_speech_rtfx(batch=8, seconds=10, iters=5):
+    from sonar_tpu.inference_pipelines.speech import JitSpeechEncoder
+    from sonar_tpu.models.sonar_speech import (
+        SonarSpeechEncoder,
+        sonar_speech_encoder_archs,
+    )
+
+    model = SonarSpeechEncoder(
+        sonar_speech_encoder_archs.get("english"), dtype=jnp.bfloat16
+    )
+    init = jax.jit(lambda k: jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), model.init_params(k)))
+    params = init(jax.random.PRNGKey(0))
+    enc = JitSpeechEncoder(model, params)
+    rng = np.random.default_rng(0)
+    clips = [
+        [np.asarray(rng.normal(size=seconds * 16000) * 0.1, np.float32)
+         for _ in range(batch)]
+        for _ in range(iters)
+    ]
+    enc.encode_waveforms(clips[0])  # compile
+    t0 = time.perf_counter()
+    for c in clips:
+        enc.encode_waveforms(c)
+    dt = time.perf_counter() - t0
+    audio_seconds = batch * seconds * iters
+    return {"rtfx": round(audio_seconds / dt, 1)}
+
+
+def main():
+    report = {
+        "text_encode": bench_text_encode(),
+        "beam_decode": bench_beam_decode(),
+        "speech_encode": bench_speech_rtfx(),
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

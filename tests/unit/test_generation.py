@@ -7,6 +7,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
@@ -109,6 +110,32 @@ def test_top_p_sampler_filters():
     filtered_k = TopKSampler(k=2).filter_logprobs(lp)
     kept_k = np.asarray(filtered_k[0]) > -1e29
     assert kept_k.tolist() == [True, True, False, False]
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(len_penalty=0.7),
+        dict(len_penalty=2.0),
+        dict(normalize_scores=False),
+        dict(beam_size=5, max_gen_len=5),
+    ],
+)
+def test_beam_config_variants_match_oracle(kwargs):
+    dec, params = _tiny_decoder()
+    eos = dec.config.vocab_info.eos_idx
+    prefix = [eos, 5]
+    config = BeamSearchConfig(beam_size=kwargs.pop("beam_size", 3),
+                              max_gen_len=kwargs.pop("max_gen_len", 7), **kwargs)
+    memory = jax.random.normal(jax.random.PRNGKey(21), (1, 1, dec.config.model_dim))
+    want_tokens, want_score = beam_search_oracle(
+        _oracle_logprob_fn(dec, params, memory), prefix, eos, config
+    )
+    runtime = JitTextDecoder(dec, params)
+    tokens, scores, lens = runtime.generate_beam(np.asarray(memory), prefix, config)
+    got = tokens[0, 0][: int(lens[0, 0])].tolist()
+    assert got == want_tokens
+    np.testing.assert_allclose(scores[0, 0], want_score, atol=1e-4)
 
 
 def test_min_gen_len_bans_early_eos():
