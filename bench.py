@@ -31,11 +31,15 @@ BASELINE_SENTS_PER_SEC = 10_000.0
 def main() -> None:
     from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
 
+    from sonar_tpu.nn.transformer import fuse_qkv
+
     config = sonar_text_encoder_archs.get("basic")
     model = SonarTextEncoder(config, dtype=jnp.bfloat16)
     init = jax.jit(
-        lambda key: jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16), model.init_params(key)
+        lambda key: fuse_qkv(
+            jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), model.init_params(key)
+            )
         )
     )
     params = init(jax.random.PRNGKey(0))

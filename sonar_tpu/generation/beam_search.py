@@ -40,6 +40,11 @@ class BeamSearchConfig:
     len_penalty: float = 1.0
     normalize_scores: bool = True
     unk_penalty: float = 0.0
+    # Two-stage candidate selection: per-beam ``lax.approx_max_k`` over the
+    # vocab (fast TPU reduction) followed by an exact merge. Big latency win
+    # for NLLB's 256k vocab; recall is ~1 but not bit-guaranteed, so exact
+    # ``lax.top_k`` stays the default for parity work.
+    approx_topk: bool = False
 
     @classmethod
     def from_kwargs(cls, model_max_len: int, **kwargs) -> "BeamSearchConfig":
@@ -51,7 +56,8 @@ class BeamSearchConfig:
         max_seq_len = min(max_seq_len, model_max_len)
         max_gen = int(kwargs.get("max_gen_len", min(cfg.max_gen_len, max_seq_len)))
         cfg = dataclasses.replace(cfg, max_gen_len=min(max_gen, max_seq_len))
-        for key in ("min_gen_len", "len_penalty", "normalize_scores", "unk_penalty"):
+        for key in ("min_gen_len", "len_penalty", "normalize_scores",
+                    "unk_penalty", "approx_topk"):
             if key in kwargs:
                 cfg = dataclasses.replace(cfg, **{key: kwargs[key]})
         return cfg
@@ -224,8 +230,20 @@ def beam_search_lax(
             lp = lp.at[:, :, unk_idx].add(-config.unk_penalty)
 
         cand = state.scores[:, :, None] + lp                      # [B, K, V]
-        flat = cand.reshape(B, K * vocab_size)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)          # [B, 2K]
+        if config.approx_topk:
+            # Stage 1: per-beam approx top-2K over V; stage 2: exact merge
+            # of the K*2K survivors.
+            row_s, row_i = jax.lax.approx_max_k(
+                cand.reshape(B * K, vocab_size), 2 * K
+            )                                                      # [B*K, 2K]
+            row_s = row_s.reshape(B, K * 2 * K)
+            beam_of = jnp.repeat(jnp.arange(K), 2 * K)[None, :]    # [1, K*2K]
+            flat_i = beam_of * vocab_size + row_i.reshape(B, K * 2 * K)
+            top_scores, pos = jax.lax.top_k(row_s, 2 * K)          # [B, 2K]
+            top_idx = jnp.take_along_axis(flat_i, pos, axis=1)
+        else:
+            flat = cand.reshape(B, K * vocab_size)
+            top_scores, top_idx = jax.lax.top_k(flat, 2 * K)       # [B, 2K]
         top_beam = top_idx // vocab_size
         top_tok = top_idx % vocab_size
         is_eos = top_tok == eos_idx

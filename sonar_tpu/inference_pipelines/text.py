@@ -35,10 +35,19 @@ def _len_buckets_for(max_len: int) -> tuple:
 
 
 class JitTextEncoder:
-    """Shape-bucketed jit wrapper around a SonarTextEncoder + params."""
+    """Shape-bucketed jit wrapper around a SonarTextEncoder + params.
 
-    def __init__(self, model: SonarTextEncoder, params):
+    ``fuse_qkv`` rewrites the bound params so every self-attention runs one
+    [D, 3D] projection matmul instead of three [D, D] ones (runtime-only;
+    checkpoint layout is unchanged).
+    """
+
+    def __init__(self, model: SonarTextEncoder, params, fuse_qkv: bool = True):
         self.model = model
+        if fuse_qkv:
+            from sonar_tpu.nn.transformer import fuse_qkv as _fuse
+
+            params = _fuse(params)
         self.params = params
         self._fn = jax.jit(
             lambda p, seqs, lens: model.apply(p, seqs, lens).sentence_embeddings

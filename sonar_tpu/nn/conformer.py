@@ -67,6 +67,21 @@ def rel_pos_table(seq_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(table, dtype)
 
 
+def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, S, 2S-1] -> [B, H, S, S] with out[i, j] = x[i, S-1-i+j].
+
+    Transformer-XL shift: pad one zero column at the front of the last dim,
+    reinterpret rows, drop the first, slice. Verified against the
+    brute-force per-pair oracle in tests/unit/test_speech.py.
+    """
+    b, h, s, _ = x.shape
+    y = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))        # [B,H,S,2S]
+    y = y.reshape(b, h, 2 * s, s)
+    y = y[:, :, 1:, :]                                       # [B,H,2S-1,S]
+    y = y.reshape(b, h, s, 2 * s - 1)
+    return y[:, :, :, :s]
+
+
 def init_rel_pos_attention(rng: jax.Array, cfg: ConformerConfig, dtype=jnp.float32) -> Params:
     rngs = jax.random.split(rng, 6)
     d = cfg.model_dim
@@ -113,13 +128,11 @@ def rel_pos_attention(
         "bhid,phd->bhip", q + vb[None, :, None, :], r,
         preferred_element_type=jnp.float32,
     )                                                          # [B,H,S,2S-1]
-    # Distance d = i - j lives at table row (S-1-d) = S-1-i+j: static gather.
-    rows = jnp.arange(s)[:, None]
-    cols = jnp.arange(s)[None, :]
-    gather_idx = (s - 1) - rows + cols                          # [S, S]
-    bd = jnp.take_along_axis(
-        bd_full, jnp.broadcast_to(gather_idx, (b, h, s, s)), axis=3
-    )
+    # Distance d = i - j lives at table row (S-1-d) = S-1-i+j. Use the
+    # Transformer-XL pad/reshape shift (pure data movement) instead of a
+    # general gather — the gather lowers catastrophically on TPU for
+    # speech-length sequences (S~500: hundreds of MB per layer).
+    bd = _rel_shift(bd_full)
 
     scores = (ac + bd) * (1.0 / np.sqrt(hd))
     if bias is not None:

@@ -102,8 +102,53 @@ def mha(
     bias: Optional[jnp.ndarray],
     num_heads: int,
 ) -> jnp.ndarray:
+    if "qkv_proj" in params and x is kv:
+        # Runtime-fused self-attention projection: one [D, 3D] matmul
+        # (better MXU tiling than three [D, D] ops); see ``fuse_qkv``.
+        qkv = linear(params["qkv_proj"], x)
+        q, k, v = (
+            _split_heads(t, num_heads) for t in jnp.split(qkv, 3, axis=-1)
+        )
+        out = sdpa_xla(q, k, v, bias=bias)
+        return linear(params["output_proj"], _merge_heads(out))
     k, v = mha_project_kv(params, kv, num_heads)
     return mha_attend(params, x, k, v, bias, num_heads)
+
+
+def fuse_qkv(layer_params: Params) -> Params:
+    """Concatenate q/k/v projections of every ``self_attn`` into one
+    ``qkv_proj`` (applied to a bound copy at runtime; the canonical
+    checkpoint layout keeps separate projections)."""
+
+    def transform(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for key, value in node.items():
+            if (
+                key == "self_attn"
+                and isinstance(value, dict)
+                and {"q_proj", "k_proj", "v_proj"} <= set(value)
+                and "sdpa" not in value  # rel-pos attention keeps its layout
+            ):
+                fused = dict(value)
+                fused["qkv_proj"] = {
+                    "kernel": jnp.concatenate(
+                        [value[p]["kernel"] for p in ("q_proj", "k_proj", "v_proj")],
+                        axis=-1,
+                    )
+                }
+                if "bias" in value["q_proj"]:
+                    fused["qkv_proj"]["bias"] = jnp.concatenate(
+                        [value[p]["bias"] for p in ("q_proj", "k_proj", "v_proj")],
+                        axis=-1,
+                    )
+                out[key] = fused
+            else:
+                out[key] = transform(value)
+        return out
+
+    return transform(layer_params)
 
 
 # ---------------------------------------------------------------------------

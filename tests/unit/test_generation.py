@@ -138,6 +138,21 @@ def test_beam_config_variants_match_oracle(kwargs):
     np.testing.assert_allclose(scores[0, 0], want_score, atol=1e-4)
 
 
+def test_approx_topk_matches_exact_on_toy():
+    """Small vocab -> approx_max_k has full recall; outputs must be equal."""
+    dec, params = _tiny_decoder()
+    eos = dec.config.vocab_info.eos_idx
+    runtime = JitTextDecoder(dec, params)
+    mem = np.asarray(jax.random.normal(jax.random.PRNGKey(13), (2, 1, dec.config.model_dim)))
+    exact = BeamSearchConfig(beam_size=3, max_gen_len=6)
+    approx = BeamSearchConfig(beam_size=3, max_gen_len=6, approx_topk=True)
+    t1, s1, l1 = runtime.generate_beam(mem, [eos, 5], exact)
+    t2, s2, l2 = runtime.generate_beam(mem, [eos, 5], approx)
+    for i in range(2):
+        assert t1[i, 0][: l1[i, 0]].tolist() == t2[i, 0][: l2[i, 0]].tolist()
+        np.testing.assert_allclose(s1[i, 0], s2[i, 0], atol=1e-4)
+
+
 def test_min_gen_len_bans_early_eos():
     dec, params = _tiny_decoder()
     eos = dec.config.vocab_info.eos_idx
