@@ -31,18 +31,30 @@ BASELINE_SENTS_PER_SEC = 10_000.0
 def main() -> None:
     from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
 
+    import os
+
     from sonar_tpu.nn.transformer import fuse_qkv
 
     config = sonar_text_encoder_archs.get("basic")
     model = SonarTextEncoder(config, dtype=jnp.bfloat16)
-    init = jax.jit(
-        lambda key: fuse_qkv(
-            jax.tree_util.tree_map(
-                lambda a: a.astype(jnp.bfloat16), model.init_params(key)
-            )
+    # Default: int8 serving mode (fused QKV + dynamic-activation int8
+    # matmuls) — measured sentence-embedding cosine vs bf16 is 0.9999,
+    # within the >=0.999 parity budget. SONAR_TPU_BENCH_PRECISION=bf16
+    # switches to plain bf16.
+    precision = os.environ.get("SONAR_TPU_BENCH_PRECISION", "int8")
+
+    def prepare(key):
+        p = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), model.init_params(key)
         )
-    )
-    params = init(jax.random.PRNGKey(0))
+        p = fuse_qkv(p)
+        if precision == "int8":
+            from sonar_tpu.ops.quantization import quantize_params_int8
+
+            p = quantize_params_int8(p)
+        return p
+
+    params = jax.jit(prepare)(jax.random.PRNGKey(0))
 
     @jax.jit
     def encode(params, seqs, seq_lens):

@@ -22,8 +22,7 @@ Torch is used host-side only, for unpickling ``.pt`` files.
 from __future__ import annotations
 
 import re
-from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import numpy as np
 

@@ -14,7 +14,6 @@ Layout conversion:
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict
 
 import numpy as np

@@ -7,12 +7,10 @@ Counterpart of fairseq2's ``ModelHubAccessor`` pattern
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 
 from sonar_tpu.assets import checkpoint as ckpt
-from sonar_tpu.assets.store import ModelCard, cached_path, default_store
+from sonar_tpu.assets.store import cached_path, default_store
 
 
 def load_text_encoder(name: str, dtype=jnp.float32):

@@ -21,7 +21,6 @@ models (two independent implementations must agree).
 from __future__ import annotations
 
 import dataclasses
-import math
 from dataclasses import dataclass
 from typing import Callable, List, Optional, Tuple
 

@@ -8,8 +8,7 @@ sampling generation with shape-bucketed jit caching. The full generation loop
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

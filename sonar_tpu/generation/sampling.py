@@ -9,7 +9,7 @@ Replaces fairseq2's ``SamplingSeq2SeqGenerator`` + ``TopPSampler`` /
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

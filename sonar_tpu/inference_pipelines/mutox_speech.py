@@ -8,9 +8,8 @@ classifier over the pooled embeddings.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Union
+from typing import List, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,8 +20,6 @@ from sonar_tpu.inference_pipelines.speech import (
     SpeechModelPipelineInterface,
     _resolve_speech_encoder,
 )
-from sonar_tpu.models.mutox.model import MutoxClassifier
-
 
 class MutoxSpeechClassifierPipeline(SpeechModelPipelineInterface):
     def __init__(self, mutox_classifier, encoder, device=None) -> None:

@@ -42,12 +42,17 @@ class JitTextEncoder:
     checkpoint layout is unchanged).
     """
 
-    def __init__(self, model: SonarTextEncoder, params, fuse_qkv: bool = True):
+    def __init__(self, model: SonarTextEncoder, params, fuse_qkv: bool = True,
+                 quantize: bool = False):
         self.model = model
         if fuse_qkv:
             from sonar_tpu.nn.transformer import fuse_qkv as _fuse
 
             params = _fuse(params)
+        if quantize:
+            from sonar_tpu.ops.quantization import quantize_params_int8
+
+            params = quantize_params_int8(params)
         self.params = params
         self._fn = jax.jit(
             lambda p, seqs, lens: model.apply(p, seqs, lens).sentence_embeddings

@@ -12,7 +12,6 @@ Functional port of ``BlaserModel`` (reference
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 from typing import List, Optional
 

@@ -12,7 +12,6 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from sonar_tpu.models.common import ConfigRegistry
 from sonar_tpu.nn.core import Params, embedding_lookup

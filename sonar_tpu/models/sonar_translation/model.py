@@ -14,7 +14,7 @@ text decoder, exactly like the reference's speech->text stack
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Union
+from typing import Sequence
 
 import numpy as np
 

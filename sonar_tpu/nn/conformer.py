@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from sonar_tpu.nn.core import Params, init_layer_norm, init_linear, layer_norm, linear
-from sonar_tpu.nn.position import sinusoidal_table
 from sonar_tpu.nn.transformer import _merge_heads, _split_heads, stack_layers
 
 

@@ -81,6 +81,10 @@ def init_scaled_embedding(
 # ---------------------------------------------------------------------------
 
 def linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_q" in params:
+        from sonar_tpu.ops.quantization import int8_linear
+
+        return int8_linear(params, x)
     y = jnp.matmul(x, params["kernel"].astype(x.dtype))
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)

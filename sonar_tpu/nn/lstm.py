@@ -15,7 +15,7 @@ gate order (i, f, g, o).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ TPU-first choices:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,6 @@ from sonar_tpu.nn.core import (
     layer_norm,
     linear,
 )
-from sonar_tpu.ops.attention import sdpa_xla
 
 
 @dataclass(frozen=True)
@@ -89,9 +88,16 @@ def mha_attend(
     bias: Optional[jnp.ndarray],
     num_heads: int,
 ) -> jnp.ndarray:
-    """Attention with pre-projected K/V (shared by full and incremental paths)."""
+    """Attention with pre-projected K/V (shared by full and incremental paths).
+
+    Backend is shape-dispatched: long-sequence encoder self-attention runs
+    the fused Pallas kernel on TPU, everything else the XLA path
+    (see ``sonar_tpu.ops.attention.dispatch_sdpa``).
+    """
+    from sonar_tpu.ops.attention import dispatch_sdpa
+
     q = _split_heads(linear(params["q_proj"], x), num_heads)
-    out = sdpa_xla(q, k, v, bias=bias)
+    out = dispatch_sdpa(q, k, v, bias=bias)
     return linear(params["output_proj"], _merge_heads(out))
 
 
@@ -105,11 +111,13 @@ def mha(
     if "qkv_proj" in params and x is kv:
         # Runtime-fused self-attention projection: one [D, 3D] matmul
         # (better MXU tiling than three [D, D] ops); see ``fuse_qkv``.
+        from sonar_tpu.ops.attention import dispatch_sdpa
+
         qkv = linear(params["qkv_proj"], x)
         q, k, v = (
             _split_heads(t, num_heads) for t in jnp.split(qkv, 3, axis=-1)
         )
-        out = sdpa_xla(q, k, v, bias=bias)
+        out = dispatch_sdpa(q, k, v, bias=bias)
         return linear(params["output_proj"], _merge_heads(out))
     k, v = mha_project_kv(params, kv, num_heads)
     return mha_attend(params, x, k, v, bias, num_heads)

@@ -64,3 +64,44 @@ def sdpa(
 
         return flash_attention(q, k, v, bias=bias)
     return sdpa_xla(q, k, v, bias=bias)
+
+
+# -- implementation dispatch ---------------------------------------------------
+
+_ATTENTION_IMPL = "auto"  # auto | xla | pallas
+_FLASH_MIN_SEQ = 256      # below this the [S, S] logits are cheap; XLA wins
+
+
+def set_attention_impl(impl: str) -> None:
+    """Global attention backend: 'auto' (Pallas for long-seq encoder
+    self-attention on TPU, XLA otherwise), 'xla', or 'pallas'."""
+    global _ATTENTION_IMPL
+    if impl not in ("auto", "xla", "pallas"):
+        raise ValueError(f"unknown attention impl: {impl}")
+    _ATTENTION_IMPL = impl
+
+
+def dispatch_sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Shape-aware backend selection, called from the model layers.
+
+    The Pallas kernel handles full-sequence attention with a key-dimension
+    padding bias (encoder self-attention); causal/query-varying biases and
+    short sequences stay on the XLA path.
+    """
+    impl = _ATTENTION_IMPL
+    eligible = (
+        q.shape[-2] == k.shape[-2]
+        and q.shape[-2] >= (1 if impl == "pallas" else _FLASH_MIN_SEQ)
+        and (bias is None or (bias.ndim == 4 and bias.shape[-2] == 1))
+        and q.shape[-1] in (64, 128)
+    )
+    if impl != "xla" and eligible and jax.default_backend() == "tpu":
+        from sonar_tpu.ops.pallas.flash import pallas_flash_attention
+
+        return pallas_flash_attention(q, k, v, bias=bias)
+    return sdpa_xla(q, k, v, bias=bias)

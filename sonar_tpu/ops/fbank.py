@@ -19,9 +19,8 @@ log(max(x, FLT_EPS))), matching fairseq2n's defaults.
 from __future__ import annotations
 
 import functools
-import math
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

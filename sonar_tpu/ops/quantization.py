@@ -1,0 +1,78 @@
+"""Int8 quantized inference (opt-in).
+
+TPU v5e's MXU delivers ~2x throughput for int8 x int8 -> int32 versus bf16.
+This module provides weight quantization (per-output-channel symmetric
+scales) plus dynamic per-row activation quantization; ``linear()`` in
+``sonar_tpu.nn.core`` dispatches to the int8 kernel when it sees a
+``kernel_q`` entry.
+
+Embedding-quality impact is small (sentence-embedding cosine >= 0.99 on toy
+models, asserted in tests) but nonzero — quantization is opt-in
+(``quantize_params_int8``), never applied on parity paths.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+_QUANT_KEYS = (
+    "q_proj", "k_proj", "v_proj", "qkv_proj", "output_proj",
+    "inner_proj", "model_dim_proj", "projection_out",
+    "pointwise_conv1", "pointwise_conv2",
+)
+
+
+def quantize_kernel(kernel: jnp.ndarray):
+    """[..., in, out] fp kernel -> (int8 kernel, fp32 scale [..., 1, out])."""
+    w = kernel.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Dynamic-activation int8 matmul: y = (x_q @ w_q) * (sx * sw) + b."""
+    w_q = params["kernel_q"]          # [..., in, out] int8
+    w_scale = params["scale"]         # [..., 1, out] fp32
+    x32 = x.astype(jnp.float32)
+    x_scale = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    x_scale = jnp.maximum(x_scale, 1e-12)
+    x_q = jnp.clip(jnp.round(x32 / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, w_q,
+        dimension_numbers=(((x_q.ndim - 1,), (w_q.ndim - 2,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * x_scale * w_scale.reshape(
+        w_scale.shape[:-2] + (w_scale.shape[-1],)
+    )
+    if "bias" in params:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quantize_params_int8(params: Params) -> Params:
+    """Replace eligible Linear kernels with int8 + scales (runtime copy).
+
+    LayerNorms, embeddings, biases, batch-norm and depthwise convs stay in
+    floating point (negligible FLOPs, quantization-sensitive).
+    """
+
+    def transform(node, key=None):
+        if not isinstance(node, dict):
+            return node
+        if key in _QUANT_KEYS and "kernel" in node:
+            q, scale = quantize_kernel(node["kernel"])
+            out = {k: v for k, v in node.items() if k != "kernel"}
+            out["kernel_q"] = q
+            out["scale"] = scale
+            return out
+        return {k: transform(v, k) for k, v in node.items()}
+
+    return transform(params)

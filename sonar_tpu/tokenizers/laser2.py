@@ -11,7 +11,7 @@ fairseq dictionary specials the LASER2 LSTM was trained with
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Sequence, Union
+from typing import List, Union
 
 from sonar_tpu.models.common import VocabularyInfo
 from sonar_tpu.tokenizers.spm import (

@@ -16,7 +16,7 @@ Replicates fairseq2's ``NllbTokenizer`` semantics as used by SONAR
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 from sonar_tpu.models.common import VocabularyInfo
 from sonar_tpu.tokenizers.spm import (

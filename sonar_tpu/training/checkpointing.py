@@ -9,8 +9,6 @@ round-trip with their shardings).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
-
 from sonar_tpu.training.train_step import TrainState
 
 
