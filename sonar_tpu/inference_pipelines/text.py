@@ -43,7 +43,7 @@ class JitTextEncoder:
     """
 
     def __init__(self, model: SonarTextEncoder, params, fuse_qkv: bool = True,
-                 quantize: bool = False):
+                 quantize: bool = False, mesh=None):
         self.model = model
         if fuse_qkv:
             from sonar_tpu.nn.transformer import fuse_qkv as _fuse
@@ -53,6 +53,14 @@ class JitTextEncoder:
             from sonar_tpu.ops.quantization import quantize_params_int8
 
             params = quantize_params_int8(params)
+        self.mesh = mesh
+        if mesh is not None:
+            # Scale-out encode: TP-shard the params over the mesh; batches
+            # are sharded over the 'data' axis in encode_batch. GSPMD inserts
+            # the collectives.
+            from sonar_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self._fn = jax.jit(
             lambda p, seqs, lens: model.apply(p, seqs, lens).sentence_embeddings
@@ -67,7 +75,19 @@ class JitTextEncoder:
         return self.model.max_source_len
 
     def encode_batch(self, batch: SequenceBatch) -> np.ndarray:
-        emb = self._fn(self.params, jnp.asarray(batch.seqs), jnp.asarray(batch.seq_lens))
+        seqs = jnp.asarray(batch.seqs)
+        lens = jnp.asarray(batch.seq_lens)
+        if self.mesh is not None:
+            from sonar_tpu.parallel.mesh import data_sharding
+
+            n_data = self.mesh.shape["data"]
+            pad = (-seqs.shape[0]) % n_data
+            if pad:
+                seqs = jnp.pad(seqs, ((0, pad), (0, 0)), constant_values=1)
+                lens = jnp.pad(lens, ((0, pad),))
+            seqs = jax.device_put(seqs, data_sharding(self.mesh, "data", None))
+            lens = jax.device_put(lens, data_sharding(self.mesh, "data"))
+        emb = self._fn(self.params, seqs, lens)
         return np.asarray(emb)[: batch.true_batch]
 
 

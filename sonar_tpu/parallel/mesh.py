@@ -64,12 +64,22 @@ def _spec_for_path(path: str, ndim: int) -> P:
 
 
 def param_shardings(params, mesh: Mesh):
-    """Pytree of NamedSharding matching the TP rules above."""
+    """Pytree of NamedSharding matching the TP rules above.
+
+    Falls back to replication for any leaf whose sharded dimension is not
+    divisible by the mesh axis size (e.g. odd toy vocab sizes).
+    """
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     specs = []
     for path, leaf in flat:
         pstr = jax.tree_util.keystr(path, simple=True, separator="/")
-        specs.append(NamedSharding(mesh, _spec_for_path(pstr, np.ndim(leaf))))
+        spec = _spec_for_path(pstr, np.ndim(leaf))
+        shape = np.shape(leaf)
+        for dim, axis in enumerate(spec):
+            if axis is not None and shape[dim] % mesh.shape[axis] != 0:
+                spec = P()
+                break
+        specs.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 

@@ -58,6 +58,44 @@ def test_param_shardings_split_ffn():
     assert sh["layer_norm"]["weight"].spec == jax.sharding.PartitionSpec()
 
 
+def test_mesh_sharded_pipeline_encode():
+    """JitTextEncoder(mesh=...) == single-device results through the full
+    TextToEmbeddingModelPipeline."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from helpers import build_toy_nllb
+
+    from sonar_tpu import TextToEmbeddingModelPipeline
+    from sonar_tpu.inference_pipelines.text import JitTextEncoder
+
+    import tempfile
+
+    tok = build_toy_nllb(Path(tempfile.mkdtemp()))
+    cfg = dataclasses.replace(
+        sonar_text_encoder_archs.get("toy"), model_dim=64, ffn_inner_dim=256,
+        num_encoder_attn_heads=4,
+        vocab_info=dataclasses.replace(
+            sonar_text_encoder_archs.get("toy").vocab_info, size=len(tok.model)
+        ),
+    )
+    model = SonarTextEncoder(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    sents = ["hello world", "my name is paul", "the cat sat", "hello", "world"]
+
+    single = TextToEmbeddingModelPipeline(
+        encoder=JitTextEncoder(model, params), tokenizer=tok
+    ).predict(sents, source_lang="eng_Latn", batch_size=3)
+
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        sharded = TextToEmbeddingModelPipeline(
+            encoder=JitTextEncoder(model, params, mesh=mesh), tokenizer=tok
+        ).predict(sents, source_lang="eng_Latn", batch_size=3)
+    np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
 def test_sharded_cosine_topk_matches_dense():
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
