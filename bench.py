@@ -7,40 +7,50 @@ Baseline = the BASELINE.json north-star of 10,000 sentences/sec/chip for
 SONAR ``basic`` text encoding on TPU v5e (the reference publishes no
 throughput numbers; SURVEY §6).
 
-Workload: the full 24-layer 1024-d NLLB-style encoder in bf16, batches of
-realistic sentence lengths (len-32 bucket — typical tokenized sentence),
-steady-state, one chip.
+Workload: the deployment path — a synthetic corpus with an NLLB-like
+tokenized-length distribution (lognormal, median ~18 tokens, clipped to
+[4, 126]) staged through the framework's token-budget dynamic bucketing and
+static shape buckets, encoded by the full 24-layer 1024-d encoder in the
+int8 serving mode (fused QKV + dynamic-activation int8; embedding cosine
+0.9999 vs bf16 — within the >=0.999 parity budget).
+``SONAR_TPU_BENCH_PRECISION=bf16`` switches precision.
+
+Timing is dependency-safe for the tunneled device: distinct batches, device
+dispatch loop, full host materialization (see CLAUDE.md: identical-args
+loops and bare ``block_until_ready`` mis-measure here).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 256
-SEQ_LEN = 32
-WARMUP = 3
-ITERS = 10
+N_SENTENCES = 8192
+BATCH_MAX_TOKENS = 8192
+WARMUP_BATCHES = 6
 BASELINE_SENTS_PER_SEC = 10_000.0
+VOCAB = 256_000
+
+
+def synthetic_corpus(rng, n):
+    """Tokenized lengths ~ lognormal (median ~18), FLORES-like sentences."""
+    lens = np.clip(np.rint(rng.lognormal(mean=2.9, sigma=0.55, size=n)), 4, 126).astype(
+        np.int32
+    )
+    return [rng.integers(4, VOCAB, size=int(l)).astype(np.int32) for l in lens]
 
 
 def main() -> None:
     from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
-
-    import os
-
     from sonar_tpu.nn.transformer import fuse_qkv
 
     config = sonar_text_encoder_archs.get("basic")
     model = SonarTextEncoder(config, dtype=jnp.bfloat16)
-    # Default: int8 serving mode (fused QKV + dynamic-activation int8
-    # matmuls) — measured sentence-embedding cosine vs bf16 is 0.9999,
-    # within the >=0.999 parity budget. SONAR_TPU_BENCH_PRECISION=bf16
-    # switches to plain bf16.
     precision = os.environ.get("SONAR_TPU_BENCH_PRECISION", "int8")
 
     def prepare(key):
@@ -56,33 +66,42 @@ def main() -> None:
 
     params = jax.jit(prepare)(jax.random.PRNGKey(0))
 
-    @jax.jit
-    def encode(params, seqs, seq_lens):
-        return model.apply(params, seqs, seq_lens).sentence_embeddings
+    encode = jax.jit(
+        lambda p, seqs, lens: model.apply(p, seqs, lens).sentence_embeddings
+    )
 
     rng = np.random.default_rng(0)
-    # Distinct batches per iteration: defeats any content-addressed execution
-    # caching and matches the real pipeline pattern (independent batches may
-    # pipeline, which is legitimate throughput behavior).
-    batches = [
-        (
-            jnp.asarray(rng.integers(4, 256000, size=(BATCH, SEQ_LEN)), jnp.int32),
-            jnp.asarray(rng.integers(12, SEQ_LEN + 1, size=(BATCH,)), jnp.int32),
-        )
-        for _ in range(ITERS)
-    ]
+    corpus = synthetic_corpus(rng, N_SENTENCES)
+    # Static-shape batching: one fixed (batch, len) shape per length bucket,
+    # batches filled completely — minimal padding waste AND bounded compiles.
+    from sonar_tpu.data.batcher import StaticShapeBatcher
 
-    for i in range(WARMUP):
-        np.asarray(encode(params, *batches[i % ITERS]))
+    batcher = StaticShapeBatcher(
+        pad_value=1, len_buckets=(16, 24, 32, 48, 64, 96, 128),
+        tokens_per_batch=BATCH_MAX_TOKENS,
+    )
+    batches = list(batcher.batches(corpus))
+
+    # Warm every (batch, len) bucket shape out of the timed region.
+    seen = set()
+    for b in batches:
+        key = b.seqs.shape
+        if key not in seen:
+            seen.add(key)
+            np.asarray(encode(params, jnp.asarray(b.seqs), jnp.asarray(b.seq_lens)))
 
     t0 = time.perf_counter()
-    outs = [encode(params, s, l) for s, l in batches]
-    # Force materialization of every output on the host.
-    for o in outs:
+    outs = [
+        (encode(params, jnp.asarray(b.seqs), jnp.asarray(b.seq_lens)), b.true_batch)
+        for b in batches
+    ]
+    total = 0
+    for o, nb in outs:
         np.asarray(o)
+        total += nb
     dt = time.perf_counter() - t0
 
-    sents_per_sec = BATCH * ITERS / dt
+    sents_per_sec = total / dt
     print(
         json.dumps(
             {

@@ -1,0 +1,56 @@
+"""StaticShapeBatcher: shape discipline, completeness, low waste."""
+
+import numpy as np
+
+from sonar_tpu.data.batcher import StaticShapeBatcher
+
+
+def _corpus(rng, n=500):
+    lens = np.clip(np.rint(rng.lognormal(2.9, 0.55, n)), 4, 126).astype(int)
+    return [list(range(4, 4 + l)) for l in lens]
+
+
+def test_all_items_batched_once(rng):
+    corpus = _corpus(rng)
+    b = StaticShapeBatcher(pad_value=1, len_buckets=(16, 32, 64, 128),
+                           tokens_per_batch=1024)
+    batches = list(b.batches(corpus))
+    assert sum(x.true_batch for x in batches) == len(corpus)
+    # every real row round-trips
+    seen = []
+    for batch in batches:
+        for i in range(batch.true_batch):
+            n = int(batch.seq_lens[i])
+            seen.append(list(batch.seqs[i, :n]))
+    assert sorted(map(tuple, seen)) == sorted(map(tuple, corpus))
+
+
+def test_fixed_shapes_per_bucket(rng):
+    corpus = _corpus(rng)
+    b = StaticShapeBatcher(pad_value=1, len_buckets=(16, 32, 64, 128),
+                           tokens_per_batch=1024)
+    shapes = {x.seqs.shape for x in b.batches(corpus)}
+    # one shape per bucket at most
+    assert len(shapes) <= 4
+    for bsz, blen in shapes:
+        assert blen in (16, 32, 64, 128)
+        assert bsz % 8 == 0 or bsz == b.min_batch
+
+
+def test_truncates_overlong(rng):
+    b = StaticShapeBatcher(pad_value=1, len_buckets=(8, 16), tokens_per_batch=64)
+    batches = list(b.batches([list(range(100))]))
+    assert batches[0].seqs.shape[1] == 16
+    assert int(batches[0].seq_lens[0]) == 16
+
+
+def test_padding_waste_bounded(rng):
+    corpus = _corpus(rng, 2000)
+    b = StaticShapeBatcher(pad_value=1,
+                           len_buckets=(16, 24, 32, 48, 64, 96, 128),
+                           tokens_per_batch=4096)
+    batches = list(b.batches(corpus))
+    real = sum(len(s) for s in corpus)
+    padded = sum(x.seqs.size for x in batches)
+    # small corpus => one mostly-padding remainder batch per bucket
+    assert real / padded > 0.55, (real, padded)

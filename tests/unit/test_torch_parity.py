@@ -82,6 +82,75 @@ def _torch_forward(params, seqs, lens, cfg):
     return summed / (keep.sum(1) + 1e-7)
 
 
+def _torch_decoder_forward(params, seqs, memory, cfg):
+    """Conditional decoder semantics in torch: pre-LN self-attn (causal),
+    cross-attn over length-1 memory, FFN, final LN, tied projection."""
+    tt = lambda a: torch.tensor(np.asarray(a, np.float32))
+    embed = tt(params["decoder_frontend"]["embed"]["weight"])
+    d = cfg.model_dim
+    x = embed[torch.tensor(seqs)] * math.sqrt(d)
+    pe = torch.tensor(_sinusoidal(cfg.max_seq_len, d))
+    offset = cfg.vocab_info.pad_idx + 1
+    x = x + pe[offset : offset + seqs.shape[1]][None]
+
+    b, s, _ = x.shape
+    causal = torch.triu(torch.ones(s, s, dtype=torch.bool), diagonal=1)
+    mem = tt(memory)
+
+    def run_mha(lp, q_in, kv_in, attn_mask=None):
+        mha = torch.nn.MultiheadAttention(d, HEADS, batch_first=True)
+        with torch.no_grad():
+            q = tt(lp["q_proj"]["kernel"]).T
+            k = tt(lp["k_proj"]["kernel"]).T
+            v = tt(lp["v_proj"]["kernel"]).T
+            mha.in_proj_weight.copy_(torch.cat([q, k, v], 0))
+            mha.in_proj_bias.copy_(torch.cat([
+                tt(lp["q_proj"]["bias"]), tt(lp["k_proj"]["bias"]),
+                tt(lp["v_proj"]["bias"])], 0))
+            mha.out_proj.weight.copy_(tt(lp["output_proj"]["kernel"]).T)
+            mha.out_proj.bias.copy_(tt(lp["output_proj"]["bias"]))
+        out, _ = mha(q_in, kv_in, kv_in, attn_mask=attn_mask, need_weights=False)
+        return out
+
+    def ln(lp, y):
+        return torch.nn.functional.layer_norm(
+            y, (d,), tt(lp["weight"]), tt(lp["bias"]))
+
+    layers = params["decoder"]["layers"]
+    n_layers = np.asarray(layers["self_attn_layer_norm"]["weight"]).shape[0]
+    for i in range(n_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[i], layers)
+        x = x + run_mha(lp["self_attn"], ln(lp["self_attn_layer_norm"], x),
+                        ln(lp["self_attn_layer_norm"], x), attn_mask=causal)
+        h = ln(lp["encoder_decoder_attn_layer_norm"], x)
+        x = x + run_mha(lp["encoder_decoder_attn"], h, mem)
+        h = ln(lp["ffn_layer_norm"], x)
+        h = torch.relu(h @ tt(lp["ffn"]["inner_proj"]["kernel"]) + tt(lp["ffn"]["inner_proj"]["bias"]))
+        h = h @ tt(lp["ffn"]["output_proj"]["kernel"]) + tt(lp["ffn"]["output_proj"]["bias"])
+        x = x + h
+    x = ln(params["decoder"]["layer_norm"], x)
+    return x @ embed.T  # tied projection
+
+
+def test_text_decoder_matches_independent_torch_build():
+    from sonar_tpu.models.sonar_text.config import sonar_text_decoder_archs
+    from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
+
+    cfg = sonar_text_decoder_archs.get("toy")
+    dec = ConditionalTransformerDecoder(cfg)
+    params = dec.init_params(jax.random.PRNGKey(1))
+
+    seqs = np.asarray([[3, 2, 10, 11], [3, 2, 20, 21]], np.int64)
+    memory = np.random.default_rng(0).normal(size=(2, 1, cfg.model_dim)).astype(np.float32)
+
+    ours = np.asarray(
+        dec.forward(params, jnp.asarray(seqs, jnp.int32), None, jnp.asarray(memory))
+    )
+    with torch.inference_mode():
+        theirs = _torch_decoder_forward(params, seqs, memory, cfg).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=3e-4)
+
+
 def test_text_encoder_matches_independent_torch_build():
     cfg = sonar_text_encoder_archs.get("toy")
     model = SonarTextEncoder(cfg)
