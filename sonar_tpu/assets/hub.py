@@ -112,6 +112,47 @@ def load_laser2_model(name: str):
     return LaserLstmEncoder(config), laser2_params_from_torch(flat)
 
 
+class _Hub:
+    """Reference-style hub accessor: ``get_*_hub().load(name, ...)``
+    (fairseq2 ``ModelHubAccessor`` pattern, reference text.py:80-87)."""
+
+    def __init__(self, loader):
+        self._loader = loader
+
+    def load(self, name: str, device=None, dtype=None, **kwargs):
+        if dtype is not None:
+            kwargs["dtype"] = dtype
+        return self._loader(name, **kwargs)
+
+
+def get_sonar_text_encoder_hub() -> _Hub:
+    return _Hub(load_text_encoder)
+
+
+def get_sonar_text_decoder_hub() -> _Hub:
+    return _Hub(load_text_decoder)
+
+
+def get_sonar_speech_encoder_hub() -> _Hub:
+    return _Hub(load_speech_encoder)
+
+
+def get_blaser_model_hub() -> _Hub:
+    return _Hub(lambda name, **kw: load_blaser_model(name))
+
+
+def get_mutox_model_hub() -> _Hub:
+    return _Hub(lambda name, **kw: load_mutox_model(name))
+
+
+def get_laser2_model_hub() -> _Hub:
+    return _Hub(lambda name, **kw: load_laser2_model(name))
+
+
+def get_text_tokenizer_hub() -> _Hub:
+    return _Hub(lambda name, **kw: load_tokenizer(name))
+
+
 def load_tokenizer(name: str):
     store = default_store()
     card = store.tokenizer_card(name)

@@ -44,8 +44,13 @@ def _bucket_len(n: int) -> int:
 class JitSpeechEncoder:
     """Waveform batches -> embeddings, fused fbank+encoder jit per bucket."""
 
-    def __init__(self, model: SonarSpeechEncoder, params, fbank_config=FbankConfig()):
+    def __init__(self, model: SonarSpeechEncoder, params, fbank_config=FbankConfig(),
+                 quantize: bool = False):
         self.model = model
+        if quantize:
+            from sonar_tpu.ops.quantization import quantize_params_int8
+
+            params = quantize_params_int8(params)
         self.params = params
         self.fbank_config = fbank_config
 

@@ -171,7 +171,7 @@ def conv_module(
     """
     if pad_mask is not None:
         x = jnp.where(pad_mask[..., None], x, 0.0)
-    y = jnp.matmul(x, params["pointwise_conv1"]["kernel"].astype(x.dtype))
+    y = linear(params["pointwise_conv1"], x)  # handles int8 kernels too
     a, g = jnp.split(y, 2, axis=-1)
     y = a * jax.nn.sigmoid(g)                                   # GLU
     k = params["depthwise_conv"]["kernel"].astype(x.dtype)      # [K, 1, D]
@@ -189,7 +189,7 @@ def conv_module(
     y32 = (y32 - bn["running_mean"]) * jax.lax.rsqrt(bn["running_var"] + 1e-5)
     y = (y32 * bn["weight"] + bn["bias"]).astype(x.dtype)
     y = jax.nn.silu(y)
-    return jnp.matmul(y, params["pointwise_conv2"]["kernel"].astype(x.dtype))
+    return linear(params["pointwise_conv2"], y)
 
 
 # ---------------------------------------------------------------------------

@@ -56,3 +56,23 @@ def test_quantize_skips_layernorm_and_embed():
     layer_attn = params["encoder"]["layers"]["self_attn"]["q_proj"]
     assert layer_attn["kernel_q"].dtype == jnp.int8
     assert "kernel" not in layer_attn
+
+
+def test_quantized_speech_encoder_quality():
+    import jax
+    import jax.numpy as jnp
+
+    from sonar_tpu.models.sonar_speech import (
+        SonarSpeechEncoder,
+        sonar_speech_encoder_archs,
+    )
+
+    model = SonarSpeechEncoder(sonar_speech_encoder_archs.get("toy"))
+    params = model.init_params(jax.random.PRNGKey(0))
+    qparams = quantize_params_int8(params)
+    fbank = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 8))
+    lens = jnp.asarray([24, 16], jnp.int32)
+    a = np.asarray(model.apply(params, fbank, lens).sentence_embeddings)
+    b = np.asarray(model.apply(qparams, fbank, lens).sentence_embeddings)
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+    assert (cos >= 0.98).all(), cos
