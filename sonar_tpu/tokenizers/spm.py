@@ -133,7 +133,15 @@ class SentencePieceModel:
 
     def normalize(self, text: str) -> str:
         n = self.proto.normalizer
-        if n.name != "identity":
+        if n.precompiled_charsmap:
+            # Exact sentencepiece normalization: the model's own precompiled
+            # charsmap (darts-clone trie), as used by real NLLB/LASER models.
+            if not hasattr(self, "_charsmap"):
+                from sonar_tpu.tokenizers.charsmap import PrecompiledCharsmap
+
+                self._charsmap = PrecompiledCharsmap(n.precompiled_charsmap)
+            text = self._charsmap.normalize(text)
+        elif n.name != "identity":
             text = unicodedata.normalize("NFKC", text)
             # NMT rules: normalize exotic spaces / strip control chars.
             out = []

@@ -1,0 +1,73 @@
+"""Precompiled charsmap: traversal vs HF tokenizers' independent decoder."""
+
+import pytest
+
+from sonar_tpu.tokenizers.charsmap import PrecompiledCharsmap, build_charsmap
+
+MAPPING = {
+    " ": " ",       # NBSP -> space
+    "ﬁ": "fi",      # fi ligature
+    "①": "1",       # circled one
+    "ABC": "abc",        # multi-char key (longest match)
+    "AB": "xy",          # prefix of the above
+    "é́": "?",  # multi-codepoint key
+}
+
+
+def test_longest_match_and_passthrough():
+    blob = build_charsmap(MAPPING)
+    cm = PrecompiledCharsmap(blob)
+    assert cm.normalize("A B") == "A B"
+    assert cm.normalize("ﬁsh") == "fish"
+    assert cm.normalize("ABC") == "abc"       # longest key wins over "AB"
+    assert cm.normalize("ABD") == "xyD"       # falls back to the prefix key
+    assert cm.normalize("plain text") == "plain text"
+    assert cm.normalize("①①") == "11"
+
+
+def test_matches_hf_tokenizers_precompiled():
+    """Cross-check against tokenizers.normalizers.Precompiled (independent
+    implementation of the same sentencepiece format).
+
+    Note: HF's Rust port applies the trie per grapheme cluster (a documented
+    deviation); sentencepiece C++ — and this implementation — match longest
+    across the string. Real NFKC-derived charsmaps only map within-grapheme
+    sequences, where the two agree; the cross-grapheme longest-match case is
+    covered by the spec-based test above.
+    """
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers.normalizers import Precompiled
+
+    grapheme_mapping = {k: v for k, v in MAPPING.items() if k not in ("ABC", "AB")}
+    blob = build_charsmap(grapheme_mapping)
+    theirs = Precompiled(blob)
+    ours = PrecompiledCharsmap(blob)
+    for text in (
+        "A B C",
+        "\ufb01sh and \u2460 chips",
+        "unicode caf\u00e9",
+        "",
+        "no matches here",
+        "mixed \ufb01\u2460\ufb01 runs",
+        " \xa0 ",
+    ):
+        assert ours.normalize(text) == theirs.normalize_str(text), repr(text)
+
+
+def test_spm_model_uses_charsmap(tmp_path):
+    """SentencePieceModel.normalize applies the charsmap when present."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    from helpers import build_toy_spm_proto
+
+    from sonar_tpu.tokenizers.spm import SentencePieceModel
+    from sonar_tpu.tokenizers.spm_proto import serialize_model_proto
+
+    proto = build_toy_spm_proto()
+    proto.normalizer.precompiled_charsmap = build_charsmap({" ": " ", "X": "hello"})
+    m = SentencePieceModel(serialize_model_proto(proto))
+    # "X" maps to "hello" before segmentation
+    assert m.encode_as_pieces("X world") == ["▁hello", "▁world"]
+    assert m.encode("a b") == m.encode("a b")
