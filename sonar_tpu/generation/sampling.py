@@ -21,10 +21,18 @@ NEG_INF = -1e30
 class TopPSampler:
     p: float = 0.9
     temperature: float = 1.0
+    # Prefilter to the top-N candidates before the cumulative-mass scan
+    # (a full 256k-vocab sort per step is the sampling hot spot; any
+    # distribution whose top-p nucleus fits in N is unaffected). 0 = exact.
+    max_candidates: int = 0
 
     def filter_logprobs(self, logprobs: jnp.ndarray) -> jnp.ndarray:
         """Keep the smallest prefix of the sorted distribution with mass >= p."""
-        sorted_lp = jnp.sort(logprobs, axis=-1)[..., ::-1]
+        if 0 < self.max_candidates < logprobs.shape[-1]:
+            top_lp, _ = jax.lax.top_k(logprobs, self.max_candidates)
+            sorted_lp = top_lp
+        else:
+            sorted_lp = jnp.sort(logprobs, axis=-1)[..., ::-1]
         probs = jnp.exp(sorted_lp)
         cum = jnp.cumsum(probs, axis=-1)
         # Position i is kept if the cumulative mass *before* it is < p.

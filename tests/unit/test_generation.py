@@ -161,3 +161,13 @@ def test_min_gen_len_bans_early_eos():
     config = BeamSearchConfig(beam_size=2, max_gen_len=6, min_gen_len=3)
     tokens, _, lens = runtime.generate_beam(mem, [eos, 5], config)
     assert int(lens[0, 0]) >= 3
+
+
+def test_top_p_prefilter_matches_exact():
+    # peaked logits: the 0.9 nucleus fits comfortably within 32 candidates
+    lp = jax.nn.log_softmax(3.0 * jax.random.normal(jax.random.PRNGKey(0), (4, 64)))
+    exact = TopPSampler(p=0.9).filter_logprobs(lp)
+    fast = TopPSampler(p=0.9, max_candidates=32).filter_logprobs(lp)
+    np.testing.assert_array_equal(
+        np.asarray(exact) > -1e29, np.asarray(fast) > -1e29
+    )
