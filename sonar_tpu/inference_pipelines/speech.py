@@ -147,6 +147,8 @@ class SpeechToEmbeddingModelPipeline(SpeechModelPipelineInterface):
         if progress_bar:
             iterable = add_progress_bar(pipeline, inputs=input, batch_size=batch_size)
         results = list(iter(iterable))
+        if not results:
+            return np.zeros((0, self.model.model_dim), np.float32)
         return np.concatenate(results, axis=0)
 
 

@@ -71,6 +71,10 @@ class JitTextEncoder:
         return self.model.dtype
 
     @property
+    def model_dim(self) -> int:
+        return self.model.config.model_dim
+
+    @property
     def max_source_len(self) -> int:
         return self.model.max_source_len
 
@@ -171,6 +175,8 @@ class TextToEmbeddingModelPipeline:
             builder = read_text(Path(input))
             sorting_index = None
         else:
+            if len(input) == 0:
+                return np.zeros((0, self.model.model_dim), np.float32)
             sorting_index = np.argsort([len(s) for s in input], kind="stable")
             builder = read_sequence([input[i] for i in sorting_index])
 
@@ -209,6 +215,8 @@ class TextToEmbeddingModelPipeline:
                 f"the length was truncated to {max_seq_len} elements."
             )
 
+        if not results:
+            return np.zeros((0, self.model.model_dim), np.float32)
         embeddings = np.concatenate(results, axis=0)
         if sorting_index is not None:
             reversed_index = np.argsort(sorting_index, kind="stable")
