@@ -14,32 +14,29 @@ from __future__ import annotations
 import json
 import time
 
+import sys
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, str(Path(__file__).parent.parent))
 
-def bench_text_encode(batch=256, seq_len=32, iters=10):
-    from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
 
-    model = SonarTextEncoder(sonar_text_encoder_archs.get("basic"), dtype=jnp.bfloat16)
-    init = jax.jit(lambda k: jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16), model.init_params(k)))
-    params = init(jax.random.PRNGKey(0))
-    fn = jax.jit(lambda p, s, l: model.apply(p, s, l).sentence_embeddings)
-    rng = np.random.default_rng(0)
-    batches = [
-        (jnp.asarray(rng.integers(4, 256000, size=(batch, seq_len)), jnp.int32),
-         jnp.asarray(rng.integers(12, seq_len + 1, size=(batch,)), jnp.int32))
-        for _ in range(iters)
-    ]
-    np.asarray(fn(params, *batches[0]))
-    t0 = time.perf_counter()
-    outs = [fn(params, s, l) for s, l in batches]
-    for o in outs:
-        np.asarray(o)
-    dt = time.perf_counter() - t0
-    return {"sentences_per_sec": round(batch * iters / dt, 1)}
+def bench_text_encode():
+    """Same serving-mode workload as ../bench.py (realistic-length corpus,
+    static-shape buckets, int8 + fused QKV)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import bench as headline
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        headline.main()
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    return {"sentences_per_sec": result["value"]}
 
 
 def bench_beam_decode(batch=8, beam=5, gen_len=32, iters=5):
@@ -55,10 +52,11 @@ def bench_beam_decode(batch=8, beam=5, gen_len=32, iters=5):
         lambda a: a.astype(jnp.bfloat16), model.init_params(k)))
     params = init(jax.random.PRNGKey(0))
     runtime = JitTextDecoder(model, params)
-    config = BeamSearchConfig(beam_size=beam, max_gen_len=gen_len, min_gen_len=gen_len)
     rng = np.random.default_rng(0)
     memories = [rng.normal(size=(batch, 1, 1024)).astype(np.float32)
                 for _ in range(iters)]
+    config = BeamSearchConfig(beam_size=beam, max_gen_len=gen_len,
+                              min_gen_len=gen_len, approx_topk=True)
     runtime.generate_beam(memories[0], [3, 256002], config)  # warmup/compile
     lat = []
     for mem in memories:

@@ -28,10 +28,29 @@ _PIPELINES = (
 )
 
 
+_HUB = (
+    "load_text_encoder",
+    "load_text_decoder",
+    "load_speech_encoder",
+    "load_blaser_model",
+    "load_mutox_model",
+    "load_laser2_model",
+    "load_tokenizer",
+    "get_sonar_text_encoder_hub",
+    "get_sonar_text_decoder_hub",
+    "get_sonar_speech_encoder_hub",
+    "get_text_tokenizer_hub",
+)
+
+
 def __getattr__(name):
-    """Lazy pipeline imports keep `import sonar_tpu` light (no jax warm-up)."""
+    """Lazy imports keep `import sonar_tpu` light (no jax warm-up)."""
     if name in _PIPELINES:
         import sonar_tpu.inference_pipelines as _p
 
         return getattr(_p, name)
+    if name in _HUB:
+        import sonar_tpu.assets.hub as _h
+
+        return getattr(_h, name)
     raise AttributeError(f"module 'sonar_tpu' has no attribute {name!r}")
