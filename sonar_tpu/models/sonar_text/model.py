@@ -46,9 +46,13 @@ from sonar_tpu.ops.masks import additive_bias, length_mask
 class SonarTextEncoder:
     """Config-bound functional model: ``init_params`` + pure ``apply``."""
 
-    def __init__(self, config: SonarTextEncoderConfig, dtype=jnp.float32):
+    def __init__(self, config: SonarTextEncoderConfig, dtype=jnp.float32,
+                 remat: bool = False):
         self.config = config
         self.dtype = dtype
+        # Rematerialize encoder layers in the backward pass (fine-tuning
+        # memory knob; inference unaffected).
+        self.remat = remat
         self.pooling = Pooling(config.pooling.lower())
 
         max_seq_len = config.max_seq_len
@@ -174,6 +178,7 @@ class SonarTextEncoder:
             cfg.num_encoder_attn_heads,
             cfg.activation_fn,
             norm_order="pre",
+            remat=self.remat,
         )
         if "layer_norm" in params["encoder"]:
             x = layer_norm(params["encoder"]["layer_norm"], x)

@@ -39,9 +39,11 @@ from sonar_tpu.ops.masks import additive_bias, causal_mask, combine_masks, lengt
 
 
 class ConditionalTransformerDecoder:
-    def __init__(self, config: SonarTextDecoderConfig, dtype=jnp.float32):
+    def __init__(self, config: SonarTextDecoderConfig, dtype=jnp.float32,
+                 remat: bool = False):
         self.config = config
         self.dtype = dtype
+        self.remat = remat
         self.max_seq_len = config.max_seq_len
         self.frontend = EmbeddingFrontend(
             model_dim=config.model_dim,
@@ -127,6 +129,7 @@ class ConditionalTransformerDecoder:
             cfg.num_encoder_attn_heads,
             cfg.activation_fn,
             norm_order="pre",
+            remat=self.remat,
         )
         return layer_norm(params["decoder"]["layer_norm"], x)
 

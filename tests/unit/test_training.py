@@ -81,3 +81,22 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree_util.tree_leaves(back.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_remat_gradients_match():
+    """jax.checkpoint must not change gradients, only memory."""
+    cfg = sonar_text_encoder_archs.get("toy")
+    plain = SonarTextEncoder(cfg)
+    remat = SonarTextEncoder(cfg, remat=True)
+    params = plain.init_params(jax.random.PRNGKey(0))
+    seqs = jnp.asarray([[2, 5, 6, 3]], jnp.int32)
+    lens = jnp.asarray([4], jnp.int32)
+
+    def loss(model):
+        def fn(p):
+            return jnp.sum(model.apply(p, seqs, lens).sentence_embeddings ** 2)
+        return jax.grad(fn)(params)
+
+    g1, g2 = loss(plain), loss(remat)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
