@@ -119,13 +119,18 @@ def rel_pos_attention(
     u = params["sdpa"]["u_bias"].astype(x.dtype)               # [H, hd]
     vb = params["sdpa"]["v_bias"].astype(x.dtype)
 
+    # Score intermediates follow the compute dtype: in bf16 serving mode the
+    # [B,H,S,S] and [B,H,S,2S-1] tensors dominate HBM traffic at speech
+    # lengths, and bf16 halves it (MXU still accumulates fp32 internally;
+    # softmax below runs fp32). fp32 models keep fp32 end to end.
+    acc_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
     ac = jnp.einsum(
         "bhid,bhjd->bhij", q + u[None, :, None, :], k,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_t,
     )
     bd_full = jnp.einsum(
         "bhid,phd->bhip", q + vb[None, :, None, :], r,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_t,
     )                                                          # [B,H,S,2S-1]
     # Distance d = i - j lives at table row (S-1-d) = S-1-i+j. Use the
     # Transformer-XL pad/reshape shift (pure data movement) instead of a
@@ -136,7 +141,8 @@ def rel_pos_attention(
     scores = (ac + bd) * (1.0 / np.sqrt(hd))
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    # fp32 softmax statistics regardless of the score dtype.
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
     out = jnp.einsum("bhij,bhjd->bhid", probs, v, preferred_element_type=jnp.float32)
     return linear(params["output_proj"], _merge_heads(out.astype(x.dtype)))
 
