@@ -45,12 +45,17 @@ class JitSpeechEncoder:
     """Waveform batches -> embeddings, fused fbank+encoder jit per bucket."""
 
     def __init__(self, model: SonarSpeechEncoder, params, fbank_config=FbankConfig(),
-                 quantize: bool = False):
+                 quantize: bool = False, mesh=None):
         self.model = model
         if quantize:
             from sonar_tpu.ops.quantization import quantize_params_int8
 
             params = quantize_params_int8(params)
+        self.mesh = mesh
+        if mesh is not None:
+            from sonar_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self.fbank_config = fbank_config
 
@@ -76,13 +81,22 @@ class JitSpeechEncoder:
         b = len(waves)
         max_t = _bucket_len(max(w.shape[0] for w in waves))
         b_pad = round_up_pow2(b)
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            b_pad = -(-b_pad // n_data) * n_data
         batch = np.zeros((b_pad, max_t), np.float32)
         lens = np.zeros((b_pad,), np.int32)
         for i, w in enumerate(waves):
             batch[i, : w.shape[0]] = w
             lens[i] = w.shape[0]
         max_frames = num_frames(max_t, self.fbank_config)
-        emb = self._fn(self.params, jnp.asarray(batch), jnp.asarray(lens), max_frames)
+        batch_j, lens_j = jnp.asarray(batch), jnp.asarray(lens)
+        if self.mesh is not None:
+            from sonar_tpu.parallel.mesh import data_sharding
+
+            batch_j = jax.device_put(batch_j, data_sharding(self.mesh, "data", None))
+            lens_j = jax.device_put(lens_j, data_sharding(self.mesh, "data"))
+        emb = self._fn(self.params, batch_j, lens_j, max_frames)
         return np.asarray(emb)[:b]
 
 

@@ -96,6 +96,45 @@ def _margin_scores(
     raise ValueError(f"unknown margin: {margin}")
 
 
+def sharded_xsim(
+    x: np.ndarray,
+    y: np.ndarray,
+    mesh: Mesh,
+    k: int = 4,
+    margin: str = "ratio",
+    axis: str = "data",
+) -> float:
+    """Mesh-scaled xsim: margin scoring from sharded top-k lists only.
+
+    The dense [N, N] similarity matrix never materializes: both directions'
+    top-k (scores + neighbor averages) come from ``sharded_cosine_topk``
+    over the ICI-sharded bank, and margin scores are evaluated over each
+    query's top-k cosine candidates only — the standard LASER mining
+    approximation (the margin argmax can in principle fall outside the
+    cosine top-k, but with the protocol's k=4 this matches dense evaluation
+    on real embedding distributions; asserted against dense xsim in tests).
+    """
+    xq = jnp.asarray(x, jnp.float32)
+    yq = jnp.asarray(y, jnp.float32)
+    # x -> y candidates and neighborhood averages
+    s_xy, i_xy = sharded_cosine_topk(xq, yq, k, mesh, axis)   # [N, k]
+    s_yx, _ = sharded_cosine_topk(yq, xq, k, mesh, axis)      # [N, k]
+    avg_x = np.asarray(s_xy).mean(axis=1)                      # [N]
+    avg_y = np.asarray(s_yx).mean(axis=1)                      # [N]
+    scores = np.asarray(s_xy)
+    idx = np.asarray(i_xy)
+    if margin == "ratio":
+        m = scores / ((avg_x[:, None] + avg_y[idx]) / 2.0)
+    elif margin == "distance":
+        m = scores - (avg_x[:, None] + avg_y[idx]) / 2.0
+    elif margin == "absolute":
+        m = scores
+    else:
+        raise ValueError(f"unknown margin: {margin}")
+    pred = idx[np.arange(len(idx)), m.argmax(axis=1)]
+    return float((pred != np.arange(len(idx))).mean() * 100.0)
+
+
 def xsim(
     x: np.ndarray,
     y: np.ndarray,

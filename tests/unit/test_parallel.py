@@ -109,6 +109,43 @@ def test_sharded_cosine_topk_matches_dense():
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
 
+def test_mesh_sharded_speech_encode():
+    from sonar_tpu.inference_pipelines.speech import JitSpeechEncoder
+    from sonar_tpu.models.sonar_speech import (
+        SonarSpeechEncoder,
+        sonar_speech_encoder_archs,
+    )
+    from sonar_tpu.ops.fbank import FbankConfig
+
+    model = SonarSpeechEncoder(sonar_speech_encoder_archs.get("toy"))
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    waves = [(rng.normal(size=8000) * 0.1).astype(np.float32) for _ in range(3)]
+
+    single = JitSpeechEncoder(
+        model, params, fbank_config=FbankConfig(num_mel_bins=8)
+    ).encode_waveforms(waves)
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        sharded = JitSpeechEncoder(
+            model, params, fbank_config=FbankConfig(num_mel_bins=8), mesh=mesh
+        ).encode_waveforms(waves)
+    np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
+def test_sharded_xsim_matches_dense():
+    from sonar_tpu.parallel.mining import sharded_xsim
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(64, 32)).astype(np.float32)
+    x = base + 0.1 * rng.normal(size=base.shape).astype(np.float32)
+    y = base + 0.1 * rng.normal(size=base.shape).astype(np.float32)
+    mesh1d = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    dense = xsim(x, y)
+    sharded = sharded_xsim(x, y, mesh1d)
+    assert sharded == dense
+
+
 def test_xsim_perfect_and_noisy():
     rng = np.random.default_rng(2)
     x = rng.normal(size=(50, 16)).astype(np.float32)
