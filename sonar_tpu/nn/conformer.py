@@ -98,6 +98,21 @@ def init_rel_pos_attention(rng: jax.Array, cfg: ConformerConfig, dtype=jnp.float
     }
 
 
+def _use_relpos_kernel(x, bias, s: int, hd: int) -> bool:
+    """Route to the fused Pallas kernel only on explicit
+    ``set_attention_impl('pallas')``: chip measurements show XLA's own
+    fusion of the ac+softmax+PV chain matches/beats the kernel at speech
+    lengths (RTFx 198 XLA vs 190 kernel, numerics cosine 0.99997), so the
+    kernel is kept as a validated alternative, not the default."""
+    from sonar_tpu.ops.attention import _ATTENTION_IMPL
+
+    if _ATTENTION_IMPL != "pallas":
+        return False
+    if bias is not None and not (bias.ndim == 4 and bias.shape[-2] == 1):
+        return False
+    return s >= 128 and hd in (64, 128)
+
+
 def rel_pos_attention(
     params: Params,
     x: jnp.ndarray,
@@ -122,12 +137,8 @@ def rel_pos_attention(
     # Score intermediates follow the compute dtype: in bf16 serving mode the
     # [B,H,S,S] and [B,H,S,2S-1] tensors dominate HBM traffic at speech
     # lengths, and bf16 halves it (MXU still accumulates fp32 internally;
-    # softmax below runs fp32). fp32 models keep fp32 end to end.
+    # softmax runs fp32). fp32 models keep fp32 end to end.
     acc_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
-    ac = jnp.einsum(
-        "bhid,bhjd->bhij", q + u[None, :, None, :], k,
-        preferred_element_type=acc_t,
-    )
     bd_full = jnp.einsum(
         "bhid,phd->bhip", q + vb[None, :, None, :], r,
         preferred_element_type=acc_t,
@@ -138,6 +149,21 @@ def rel_pos_attention(
     # speech-length sequences (S~500: hundreds of MB per layer).
     bd = _rel_shift(bd_full)
 
+    if _use_relpos_kernel(x, bias, s, hd):
+        # Fused kernel: ac matmul + bd add + bias + fp32 softmax + PV, with
+        # no HBM materialization of ac or the probabilities (the per-row
+        # rel-shift itself cannot be expressed in Mosaic — dynamic lane-dim
+        # loads must be 128-aligned — so bd stays on the XLA path above).
+        from sonar_tpu.ops.pallas.relpos_flash import relpos_flash_attention
+
+        key_bias = None if bias is None else bias[:, 0, 0, :].astype(jnp.float32)
+        out = relpos_flash_attention(q, k, v, bd, u, key_bias)
+        return linear(params["output_proj"], _merge_heads(out))
+
+    ac = jnp.einsum(
+        "bhid,bhjd->bhij", q + u[None, :, None, :], k,
+        preferred_element_type=acc_t,
+    )
     scores = (ac + bd) * (1.0 / np.sqrt(hd))
     if bias is not None:
         scores = scores + bias.astype(scores.dtype)

@@ -1,0 +1,98 @@
+"""Fused rel-pos attention kernel (Conformer), hybrid XLA+Pallas.
+
+The Transformer-XL score has two parts: ac = (q+u)K^T and the rel-shifted
+bd term. The shift needs per-row lane offsets, which Mosaic cannot express
+(dynamic lane-dim loads must be 128-aligned), so bd stays on the efficient
+XLA pad/reshape path; the kernel fuses everything else — the ac matmul,
+bd add, bias, fp32 softmax and PV — so neither ac nor the probability
+matrix ever materializes in HBM (at speech lengths those are the largest
+intermediates).
+
+Validated in interpret mode and on hardware against the pure-XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, bd_ref, u_ref, bias_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)            # [bq, dh]
+    k = k_ref[0, 0].astype(jnp.float32)            # [S, dh]
+    v = v_ref[0, 0]                                # [S, dh]
+    u = u_ref[0].astype(jnp.float32)               # [1, dh]
+    bd = bd_ref[0, 0].astype(jnp.float32)          # [bq, S]
+
+    ac = jax.lax.dot_general(
+        q + u, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # [bq, S]
+    scores = (ac + bd) * scale + bias_ref[0]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_block", "interpret"))
+def relpos_flash_attention(
+    q: jnp.ndarray,            # [B, H, S, Dh]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bd: jnp.ndarray,           # [B, H, S, S] pre-shifted rel-pos term
+    u_bias: jnp.ndarray,       # [H, Dh]
+    key_bias: Optional[jnp.ndarray] = None,  # [B, S] additive fp32
+    q_block: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, h, s, dh = q.shape
+    scale = 1.0 / np.sqrt(dh)
+
+    pad_s = (-s) % q_block
+    sp = s + pad_s
+    if pad_s:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        bd = jnp.pad(bd, ((0, 0), (0, 0), (0, pad_s), (0, pad_s)))
+    if key_bias is None:
+        key_bias = jnp.zeros((b, s), jnp.float32)
+    if pad_s:
+        key_bias = jnp.pad(
+            key_bias, ((0, 0), (0, pad_s)), constant_values=jnp.finfo(jnp.float32).min
+        )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, sp, dh), q.dtype),
+        grid=(b, h, sp // q_block),
+        in_specs=[
+            pl.BlockSpec((1, 1, q_block, dh), lambda i, j, g: (i, j, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sp, dh), lambda i, j, g: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sp, dh), lambda i, j, g: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, q_block, sp), lambda i, j, g: (i, j, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh), lambda i, j, g: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sp), lambda i, j, g: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, q_block, dh), lambda i, j, g: (i, j, g, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, k, v, bd, u_bias[:, None, :], key_bias[:, None, :])
+    return out[:, :, :s]
