@@ -21,8 +21,16 @@ from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
 
 
 class JitTextDecoder:
-    def __init__(self, model: ConditionalTransformerDecoder, params):
+    def __init__(self, model: ConditionalTransformerDecoder, params,
+                 quantize: bool = False):
         self.model = model
+        if quantize:
+            # int8 weights for the decoder stack (chip-measured: ~10% faster
+            # steps, top-1 identical on random models; the tied projection
+            # stays fp — it reuses the embedding table).
+            from sonar_tpu.ops.quantization import quantize_params_int8
+
+            params = quantize_params_int8(params)
         self.params = params
         self._beam_jit = {}
         self._sample_jit = {}
