@@ -95,13 +95,15 @@ class JitTextEncoder:
         return np.asarray(emb)[: batch.true_batch]
 
 
-def _resolve_encoder(encoder) -> JitTextEncoder:
+def _resolve_encoder(encoder, dtype=None) -> JitTextEncoder:
     if isinstance(encoder, JitTextEncoder):
         return encoder
     if isinstance(encoder, str):
+        import jax.numpy as jnp
+
         from sonar_tpu.assets.hub import load_text_encoder
 
-        return load_text_encoder(encoder)
+        return load_text_encoder(encoder, dtype=dtype or jnp.float32)
     if isinstance(encoder, tuple) and isinstance(encoder[0], SonarTextEncoder):
         return JitTextEncoder(encoder[0], encoder[1])
     raise TypeError(
@@ -130,7 +132,7 @@ class TextToEmbeddingModelPipeline:
         device=None,
         dtype=None,
     ) -> None:
-        self.model = _resolve_encoder(encoder)
+        self.model = _resolve_encoder(encoder, dtype)
         self.tokenizer = _resolve_tokenizer(tokenizer)
         self.device = device
 
@@ -233,8 +235,8 @@ class TextToTextModelPipeline:
     def __init__(self, encoder, decoder, tokenizer, device=None, dtype=None) -> None:
         from sonar_tpu.generation.text_converter import TextTranslator
 
-        self.model = _resolve_encoder(encoder)
-        self.decoder = _resolve_decoder(decoder)
+        self.model = _resolve_encoder(encoder, dtype)
+        self.decoder = _resolve_decoder(decoder, dtype)
         self.tokenizer = _resolve_tokenizer(tokenizer)
         self._translator_cls = TextTranslator
 
@@ -281,7 +283,7 @@ class EmbeddingToTextModelPipeline:
     """
 
     def __init__(self, decoder, tokenizer, device=None, dtype=None) -> None:
-        self.decoder = _resolve_decoder(decoder)
+        self.decoder = _resolve_decoder(decoder, dtype)
         self.tokenizer = _resolve_tokenizer(tokenizer)
 
     def predict(
@@ -321,15 +323,17 @@ class EmbeddingToTextModelPipeline:
         return [x for y in results for x in y]
 
 
-def _resolve_decoder(decoder):
+def _resolve_decoder(decoder, dtype=None):
     from sonar_tpu.generation.decoder_runtime import JitTextDecoder
 
     if isinstance(decoder, JitTextDecoder):
         return decoder
     if isinstance(decoder, str):
+        import jax.numpy as jnp
+
         from sonar_tpu.assets.hub import load_text_decoder
 
-        return load_text_decoder(decoder)
+        return load_text_decoder(decoder, dtype=dtype or jnp.float32)
     if isinstance(decoder, tuple):
         return JitTextDecoder(decoder[0], decoder[1])
     raise TypeError(
