@@ -24,6 +24,7 @@ from sonar_tpu.models.common import SonarEncoderOutput
 from sonar_tpu.models.sonar_text.config import SonarTextEncoderConfig
 from sonar_tpu.nn.core import (
     Params,
+    embedding_lookup,
     init_layer_norm,
     init_linear,
     init_scaled_embedding,
@@ -191,6 +192,56 @@ class SonarTextEncoder:
         return SonarEncoderOutput(
             encoded_seqs=encoded, sentence_embeddings=embeddings, seq_lens=seq_lens
         )
+
+    def apply_packed(
+        self,
+        params: Params,
+        tokens: jnp.ndarray,        # [B, L]
+        segment_ids: jnp.ndarray,   # [B, L]; 0 = pad, 1..K = segments
+        positions: jnp.ndarray,     # [B, L]; restart per segment
+        max_segments: int,
+    ) -> jnp.ndarray:
+        """Packed forward (see ``sonar_tpu.data.packing``): several sentences
+        per row with block-diagonal attention, per-segment positions and
+        per-segment mean pooling. -> [B, max_segments, D] (row k holds
+        segment k+1; unfilled slots are zero). Mean pooling only (the only
+        pooling the released SONAR text encoders use)."""
+        cfg = self.config
+        dtype = self.dtype
+        if self.pooling != Pooling.MEAN:
+            raise NotImplementedError("packed encoding supports MEAN pooling")
+        if self.config.learned_pos or self.config.no_token_positional_embeddings:
+            raise NotImplementedError("packed encoding needs sinusoidal PE")
+
+        # Frontend with per-token positions.
+        x = embedding_lookup(params["encoder_frontend"]["embed"], tokens, dtype=dtype)
+        if self.frontend.scale != 1.0:
+            x = x * jnp.asarray(self.frontend.scale, dtype)
+        table = self.frontend.pos_encoder._table.astype(dtype)
+        x = x + jnp.take(table, positions + self.frontend.pos_encoder.offset, axis=0)
+
+        # Block-diagonal attention within segments.
+        same = segment_ids[:, :, None] == segment_ids[:, None, :]
+        valid = (segment_ids > 0)[:, :, None] & (segment_ids > 0)[:, None, :]
+        bias = additive_bias(same & valid)[:, None, :, :]
+
+        x = encoder_stack(
+            params["encoder"]["layers"], x, bias,
+            cfg.num_encoder_attn_heads, cfg.activation_fn, norm_order="pre",
+        )
+        if "layer_norm" in params["encoder"]:
+            x = layer_norm(params["encoder"]["layer_norm"], x)
+        encoded = layer_norm(params["layer_norm"], x)
+
+        # Per-segment masked mean with the reference 1e-7 epsilon.
+        onehot = jax.nn.one_hot(segment_ids - 1, max_segments, dtype=jnp.float32)
+        onehot = onehot * (segment_ids > 0)[..., None]
+        sums = jnp.einsum(
+            "bld,blk->bkd", encoded.astype(jnp.float32), onehot,
+            preferred_element_type=jnp.float32,
+        )
+        counts = onehot.sum(axis=1)                              # [B, K]
+        return (sums / (counts + 1e-7)[..., None]).astype(jnp.float32)
 
     def _attention_pool(
         self,

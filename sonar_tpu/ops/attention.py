@@ -94,10 +94,13 @@ def dispatch_sdpa(
     short sequences stay on the XLA path.
     """
     impl = _ATTENTION_IMPL
+    head_independent = bias is None or (bias.ndim == 4 and bias.shape[1] == 1)
+    full_bias = bias is not None and bias.ndim == 4 and bias.shape[-2] != 1
+    min_seq = 1 if impl == "pallas" else (128 if full_bias else _FLASH_MIN_SEQ)
     eligible = (
         q.shape[-2] == k.shape[-2]
-        and q.shape[-2] >= (1 if impl == "pallas" else _FLASH_MIN_SEQ)
-        and (bias is None or (bias.ndim == 4 and bias.shape[-2] == 1))
+        and q.shape[-2] >= min_seq
+        and head_independent
         and q.shape[-1] in (64, 128)
     )
     if impl != "xla" and eligible and jax.default_backend() == "tpu":

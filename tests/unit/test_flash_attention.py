@@ -43,6 +43,24 @@ def test_flash_matches_xla(sq, skv):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_flash_full_block_diagonal_bias():
+    """Packed-mode bias [B, 1, Sq, Skv] (block-diagonal segments)."""
+    rng = jax.random.PRNGKey(3)
+    b, h, s, dh = 2, 2, 128, 64
+    q = jax.random.normal(jax.random.fold_in(rng, 1), (b, h, s, dh))
+    k = jax.random.normal(jax.random.fold_in(rng, 2), (b, h, s, dh))
+    v = jax.random.normal(jax.random.fold_in(rng, 3), (b, h, s, dh))
+    seg = jnp.asarray(
+        np.repeat(np.arange(1, 5), s // 4)[None, :].repeat(b, 0)
+    )
+    mask = (seg[:, :, None] == seg[:, None, :])
+    bias = additive_bias(mask)[:, None, :, :]
+
+    want = sdpa_xla(q, k, v, bias=bias)
+    got = _pallas_interpret(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_flash_no_bias():
     rng = jax.random.PRNGKey(7)
     q = jax.random.normal(jax.random.fold_in(rng, 1), (1, 2, 128, 64))
