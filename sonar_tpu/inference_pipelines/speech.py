@@ -118,6 +118,18 @@ def _to_mono_wave(decoded: dict) -> np.ndarray:
     wave = np.asarray(decoded["waveform"], np.float32)
     if wave.ndim == 2:
         wave = wave.mean(axis=1) if wave.shape[1] > 1 else wave[:, 0]
+    rate = float(decoded.get("sample_rate", 16000.0))
+    if rate != 16000.0:
+        # The reference leaves this as a TODO assert (speech.py:249);
+        # resample properly instead (polyphase, host-side).
+        from fractions import Fraction
+
+        from scipy.signal import resample_poly
+
+        frac = Fraction(16000, int(rate)).limit_denominator(1000)
+        wave = resample_poly(wave, frac.numerator, frac.denominator).astype(
+            np.float32
+        )
     return wave
 
 

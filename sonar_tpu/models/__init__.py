@@ -1,0 +1,5 @@
+from sonar_tpu.models.common import (  # noqa: F401
+    ConfigRegistry,
+    SonarEncoderOutput,
+    VocabularyInfo,
+)

@@ -248,3 +248,17 @@ def test_speech_checkpoint_converter_structure(rng):
     fbank = jax.random.normal(jax.random.PRNGKey(2), (1, 12, MEL))
     out = model.apply(params, fbank, jnp.asarray([12], jnp.int32))
     assert np.isfinite(np.asarray(out.sentence_embeddings)).all()
+
+
+def test_non_16k_wav_is_resampled(tmp_path):
+    """A 32 kHz wav is resampled to 16 kHz before fbank/encoding."""
+    from sonar_tpu.inference_pipelines.speech import SpeechModelPipelineInterface
+
+    rng = np.random.default_rng(7)
+    wave_32k = (rng.normal(size=32000) * 0.1).astype(np.float32)
+    p = tmp_path / "hi.wav"
+    write_wav(p, wave_32k, 32000)
+
+    iface = SpeechModelPipelineInterface()
+    wave = iface._decode_audio(str(p))
+    assert abs(wave.shape[0] - 16000) <= 2  # 1 second at 16 kHz
