@@ -70,20 +70,3 @@ class EmbeddingFrontend:
         if self.layernorm:
             x = layer_norm(params["layer_norm"], x)
         return dropout(x, self.dropout_p, dropout_rng)
-
-    def embed_precomputed(
-        self,
-        params: Params,
-        embeds: jnp.ndarray,
-        step: int | jnp.ndarray = 0,
-        dtype=jnp.float32,
-    ) -> jnp.ndarray:
-        """Frontend for already-embedded inputs (attention-pooler BOS rows)."""
-        x = embeds.astype(dtype)
-        if self.scale != 1.0:
-            x = x * jnp.asarray(self.scale, dtype)
-        if self.pos_encoder is not None and not self.learned_pos:
-            x = self.pos_encoder(x, step=step)
-        if self.layernorm:
-            x = layer_norm(params["layer_norm"], x)
-        return x

@@ -6,16 +6,14 @@ Two paths:
   short sequences (<=514); softmax runs in fp32 for numerical parity with the
   reference (fairseq2 ``create_default_sdpa``, cited at
   ``sonar/models/sonar_text/factory.py:140``).
-- ``sdpa_pallas``: fused FlashAttention-style Pallas kernel for the encoder
-  hot path (see ``sonar_tpu/ops/flash_attention.py``); selected automatically
-  on TPU for shapes where it wins.
+- Pallas fused kernels (``sonar_tpu/ops/pallas/``), shape-dispatched via
+  ``dispatch_sdpa`` (explicit opt-in / long-sequence cases).
 
 Shapes follow the TPU-friendly layout [B, H, S, Dh].
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -49,21 +47,6 @@ def sdpa_xla(
         "bhqk,bhkd->bhqd", probs.astype(dtype), v, preferred_element_type=jnp.float32
     )
     return out.astype(dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("use_flash",))
-def sdpa(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    bias: Optional[jnp.ndarray] = None,
-    use_flash: bool = False,
-) -> jnp.ndarray:
-    if use_flash:
-        from sonar_tpu.ops.flash_attention import flash_attention
-
-        return flash_attention(q, k, v, bias=bias)
-    return sdpa_xla(q, k, v, bias=bias)
 
 
 # -- implementation dispatch ---------------------------------------------------
