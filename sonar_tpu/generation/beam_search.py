@@ -11,7 +11,14 @@ Replaces fairseq2's ``BeamSearchSeq2SeqGenerator`` (used by the reference at
   ``normalize_scores`` (fairseq length normalization),
 - the whole search is one ``lax.while_loop`` under jit: static token buffer
   [B, K, T], preallocated KV cache over B*K rows, early exit when every
-  batch's finished set can no longer be improved.
+  batch's finished set can no longer be improved,
+- the KV cache is NEVER physically reordered to follow beam winners (the
+  classic fairseq2 ``IncrementalStateBag.reorder`` approach rewrites the
+  whole [L, N, H, S, Dh] cache every step — gigabytes of pure HBM traffic).
+  Instead each row keeps writing its own cache slot and the search carries a
+  tiny int32 ancestry table [B, K, S_cache] mapping (beam, position) -> the
+  within-block cache row that produced it; decode self-attention reads the
+  cache through that table (``nn.transformer._beam_self_attend``).
 
 A pure-Python oracle (``beam_search_oracle``) implements the same algorithm
 eagerly over a step callback; the jitted path is tested against it on toy
@@ -139,13 +146,15 @@ class BeamState:
     fin_scores: jnp.ndarray      # [B, K] normalized (or raw) scores
     fin_lens: jnp.ndarray        # [B, K] generated length incl. eos
     step: jnp.ndarray            # scalar
-    cache: object                # decoder cache pytree (B*K rows)
+    cache: object                # decoder cache pytree (B*K rows, never reordered)
+    anc: jnp.ndarray             # [B, K, S_cache] int32 ancestry (cache row per pos)
 
 
 jax.tree_util.register_pytree_node(
     BeamState,
     lambda s: (
-        (s.tokens, s.scores, s.fin_tokens, s.fin_scores, s.fin_lens, s.step, s.cache),
+        (s.tokens, s.scores, s.fin_tokens, s.fin_scores, s.fin_lens, s.step,
+         s.cache, s.anc),
         None,
     ),
     lambda _, xs: BeamState(*xs),
@@ -167,13 +176,20 @@ def beam_search_lax(
     config: BeamSearchConfig,
     pad_idx: int = 0,
     unk_idx: Optional[int] = None,
+    cache_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched beam search.
 
-    step_fn(tokens [N], cache) -> (logprobs [N, V] fp32, cache'): one decoder
-    step for N = B*K flattened beam rows. ``cache`` must already be built for
-    B*K rows (memory repeated beam-wise) and positioned at step 0.
+    step_fn(tokens [N], cache, ancestry [N, S_cache]) -> (RAW logits
+    [N, V] fp32, cache'): one decoder step for N = B*K flattened beam rows,
+    reading past KV through the ancestry table (within-block cache row per
+    position). Normalization (log-softmax) happens inside the search: the
+    approx path avoids materializing the [N, V] log-probs entirely.
+    ``cache`` must already be built for B*K rows (memory repeated beam-wise)
+    and positioned at step 0; it is never reordered.
     prefix_tokens: [B, P] forced prompt (same P for the whole batch).
+    cache_len: static KV buffer length; defaults to P + max_gen_len + 1
+    (what ``JitTextDecoder`` allocates).
 
     Returns (tokens [B, K, T_gen], scores [B, K], lengths [B, K]) sorted by
     score, where tokens exclude the prefix and include EOS.
@@ -182,15 +198,21 @@ def beam_search_lax(
     K = config.beam_size
     T = config.max_gen_len + 1  # generated tokens incl. eos
     N = B * K
+    S_cache = cache_len if cache_len is not None else P + config.max_gen_len + 1
+
+    # Identity ancestry: every row's prefill positions live in its own slot.
+    anc0 = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, S_cache)
+    )
 
     # ---- prefill: force the prompt through the decoder ----------------------
     def prefill_body(i, carry):
         cache, _ = carry
         toks = jnp.repeat(prefix_tokens[:, i], K)  # [N]
-        logprobs, cache = step_fn(toks, cache)
-        return cache, logprobs
+        logits, cache = step_fn(toks, cache, anc0.reshape(N, S_cache))
+        return cache, logits
 
-    cache, last_logprobs = jax.lax.fori_loop(
+    cache, last_logits = jax.lax.fori_loop(
         0, P, prefill_body, (cache, jnp.zeros((N, vocab_size), jnp.float32))
     )
 
@@ -205,10 +227,11 @@ def beam_search_lax(
         fin_lens=jnp.zeros((B, K), jnp.int32),
         step=jnp.zeros((), jnp.int32),
         cache=cache,
+        anc=anc0,
     )
 
     def cond(carry):
-        state, logprobs = carry
+        state, _logits = carry
         # Upper bound on any live beam's final normalized score: cumulative
         # logprob can only decrease, and for negative scores the length
         # normalization is most favorable at the maximum length — so bound
@@ -220,27 +243,54 @@ def beam_search_lax(
         return jnp.logical_and(state.step < config.max_gen_len, improvable.any())
 
     def body(carry):
-        state, logprobs = carry
+        state, logits = carry
         step = state.step
-        lp = logprobs.reshape(B, K, vocab_size)
-        lp = jnp.where(step + 1 < config.min_gen_len,
-                       lp.at[:, :, eos_idx].set(NEG_INF), lp)
-        if unk_idx is not None and config.unk_penalty:
-            lp = lp.at[:, :, unk_idx].add(-config.unk_penalty)
-
-        cand = state.scores[:, :, None] + lp                      # [B, K, V]
         if config.approx_topk:
-            # Stage 1: per-beam approx top-2K over V; stage 2: exact merge
-            # of the K*2K survivors.
-            row_s, row_i = jax.lax.approx_max_k(
-                cand.reshape(B * K, vocab_size), 2 * K
-            )                                                      # [B*K, 2K]
-            row_s = row_s.reshape(B, K * 2 * K)
-            beam_of = jnp.repeat(jnp.arange(K), 2 * K)[None, :]    # [1, K*2K]
-            flat_i = beam_of * vocab_size + row_i.reshape(B, K * 2 * K)
-            top_scores, pos = jax.lax.top_k(row_s, 2 * K)          # [B, 2K]
+            # Work on RAW logits: per-row candidate order is shift-invariant,
+            # so the top-2K per beam can be picked in one pass over V and
+            # only the normalizer (logsumexp) needs a second; the full
+            # [N, V] log-softmax buffer (hundreds of MB at NLLB vocab) is
+            # never materialized. eos suppression / unk penalty only ever
+            # REMOVE or DEMOTE candidates, so applying them to the selected
+            # set (plus an appended exact unk column) preserves semantics.
+            lse = jax.scipy.special.logsumexp(logits, axis=-1).reshape(B, K)
+            row_s, row_i = jax.lax.approx_max_k(logits, 2 * K)     # [N, 2K]
+            lp_sel = row_s.reshape(B, K, 2 * K) - lse[:, :, None]
+            tok_sel = row_i.reshape(B, K, 2 * K)
+            lp_sel = jnp.where(
+                (step + 1 < config.min_gen_len) & (tok_sel == eos_idx),
+                NEG_INF, lp_sel,
+            )
+            if unk_idx is not None and config.unk_penalty:
+                lp_sel = lp_sel - config.unk_penalty * (tok_sel == unk_idx)
+                unk_lp = (
+                    logits.reshape(B, K, vocab_size)[:, :, unk_idx]
+                    - lse - config.unk_penalty
+                )
+                present = (tok_sel == unk_idx).any(axis=-1)
+                lp_sel = jnp.concatenate(
+                    [lp_sel, jnp.where(present, NEG_INF, unk_lp)[:, :, None]],
+                    axis=-1,
+                )
+                tok_sel = jnp.concatenate(
+                    [tok_sel, jnp.full((B, K, 1), unk_idx, tok_sel.dtype)],
+                    axis=-1,
+                )
+            w = lp_sel.shape[-1]
+            cand = state.scores[:, :, None] + lp_sel               # [B, K, w]
+            flat_i = (
+                jnp.arange(K, dtype=jnp.int32)[None, :, None] * vocab_size
+                + tok_sel
+            ).reshape(B, K * w)
+            top_scores, pos = jax.lax.top_k(cand.reshape(B, K * w), 2 * K)
             top_idx = jnp.take_along_axis(flat_i, pos, axis=1)
         else:
+            lp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, vocab_size)
+            lp = jnp.where(step + 1 < config.min_gen_len,
+                           lp.at[:, :, eos_idx].set(NEG_INF), lp)
+            if unk_idx is not None and config.unk_penalty:
+                lp = lp.at[:, :, unk_idx].add(-config.unk_penalty)
+            cand = state.scores[:, :, None] + lp                   # [B, K, V]
             flat = cand.reshape(B, K * vocab_size)
             top_scores, top_idx = jax.lax.top_k(flat, 2 * K)       # [B, 2K]
         top_beam = top_idx // vocab_size
@@ -279,14 +329,21 @@ def beam_search_lax(
         tok_onehot = jnp.arange(T)[None, None, :] == step
         new_tokens = jnp.where(tok_onehot, sel_tok[:, :, None], new_tokens)
 
-        # --- reorder the KV cache to follow the selected beams --------------
-        flat_src = (jnp.arange(B)[:, None] * K + sel_beam).reshape(N)
-        cache = jax.tree_util.tree_map(
-            lambda a: _gather_cache_rows(a, flat_src), state.cache
+        # --- follow the selected beams via ancestry (no cache reorder) ------
+        # Inherit the parent's ancestry for past positions; the KV the next
+        # step writes (at cache position P + step) lands in each logical
+        # row's own slot.
+        new_anc = jnp.take_along_axis(state.anc, sel_beam[:, :, None], axis=1)
+        write_pos = P + step
+        pos_onehot = jnp.arange(S_cache, dtype=jnp.int32)[None, None, :] == write_pos
+        new_anc = jnp.where(
+            pos_onehot, jnp.arange(K, dtype=jnp.int32)[None, :, None], new_anc
         )
 
         # --- next decoder step ----------------------------------------------
-        logprobs, cache = step_fn(sel_tok.reshape(N), cache)
+        logits, cache = step_fn(
+            sel_tok.reshape(N), state.cache, new_anc.reshape(N, S_cache)
+        )
 
         return (
             BeamState(
@@ -297,11 +354,12 @@ def beam_search_lax(
                 fin_lens=new_fin_lens,
                 step=step + 1,
                 cache=cache,
+                anc=new_anc,
             ),
-            logprobs,
+            logits,
         )
 
-    state, _ = jax.lax.while_loop(cond, body, (state, last_logprobs))
+    state, _ = jax.lax.while_loop(cond, body, (state, last_logits))
 
     # Force-finish best live beams where nothing finished (hit max len).
     no_fin = state.fin_scores <= NEG_INF / 2                      # [B, K]
@@ -323,15 +381,3 @@ def beam_search_lax(
     )
 
 
-def _gather_cache_rows(a: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
-    """Reorder the batch axis of a cache leaf; batch may be axis 0 or 1.
-
-    Cache leaves are [L, N, H, S, Dh] (stacked per layer) or scalar index.
-    """
-    if a.ndim == 0:
-        return a
-    if a.ndim >= 2 and a.shape[1] == rows.shape[0]:
-        return a[:, rows]
-    if a.shape[0] == rows.shape[0]:
-        return a[rows]
-    return a

@@ -74,16 +74,22 @@ class JitTextDecoder:
         def fn(params, memory, prefix):
             B = memory.shape[0]
             mem_rep = jnp.repeat(memory, K, axis=0)  # [B*K, 1, D]
+            cache_len = prefix_len + config.max_gen_len + 1
             cache = model.init_cache(
-                params, mem_rep, max_len=prefix_len + config.max_gen_len + 1
+                params, mem_rep, max_len=cache_len, beam_size=K
             )
 
-            def step_fn(tokens, cache):
-                logits, cache = model.step(params, tokens, cache)
-                return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1), cache
+            def step_fn(tokens, cache, ancestry):
+                logits, cache = model.step(
+                    params, tokens, cache, ancestry=ancestry, beam_size=K
+                )
+                # Raw fp32 logits; beam_search_lax normalizes (the approx
+                # path never materializes the [N, V] log-softmax).
+                return logits.astype(jnp.float32), cache
 
             return beam_search_lax(
-                step_fn, cache, prefix, eos, vocab, config, pad_idx=pad, unk_idx=unk
+                step_fn, cache, prefix, eos, vocab, config, pad_idx=pad,
+                unk_idx=unk, cache_len=cache_len,
             )
 
         return jax.jit(fn)

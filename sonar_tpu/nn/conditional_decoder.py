@@ -159,7 +159,11 @@ class ConditionalTransformerDecoder:
     # -- incremental --------------------------------------------------------
 
     def init_cache(
-        self, params: Params, memory: jnp.ndarray, max_len: int
+        self,
+        params: Params,
+        memory: jnp.ndarray,
+        max_len: int,
+        beam_size: Optional[int] = None,
     ) -> DecoderCache:
         cfg = self.config
         return init_decoder_cache(
@@ -170,6 +174,7 @@ class ConditionalTransformerDecoder:
             memory.shape[0],
             cfg.model_dim,
             self.dtype,
+            beam_size=beam_size,
         )
 
     def step(
@@ -178,8 +183,15 @@ class ConditionalTransformerDecoder:
         tokens: jnp.ndarray,
         cache: DecoderCache,
         memory_bias: Optional[jnp.ndarray] = None,
+        ancestry: Optional[jnp.ndarray] = None,
+        beam_size: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, DecoderCache]:
-        """One decode step: tokens [B] int32 at position cache.index -> ([B, V], cache)."""
+        """One decode step: tokens [B] int32 at position cache.index -> ([B, V], cache).
+
+        ancestry/beam_size: beam-decode mode — self-attention reads the
+        un-reordered KV cache through the [B, S_max] ancestry table (see
+        ``nn.transformer.decoder_step``).
+        """
         cfg = self.config
         x = self.frontend(
             params["decoder_frontend"],
@@ -194,6 +206,8 @@ class ConditionalTransformerDecoder:
             memory_bias,
             cfg.num_encoder_attn_heads,
             cfg.activation_fn,
+            ancestry=ancestry,
+            beam_size=beam_size,
         )
         x = layer_norm(params["decoder"]["layer_norm"], x)
         logits = self.project(params, x)[:, 0]
