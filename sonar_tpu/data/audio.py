@@ -2,14 +2,19 @@
 
 Replaces fairseq2n's C++ ``AudioDecoder`` (libsndfile) and ``FileMapper``
 (reference usage: ``sonar/inference_pipelines/speech.py:23,118,296-308``).
-Implements a native RIFF/WAVE parser (PCM 8/16/24/32-bit and IEEE float,
-mono/multichannel) in numpy — no external audio library needed for the wav
-test/eval paths; scipy is used as fallback for other formats when present.
+Two decode paths:
+
+- RIFF/WAVE: native numpy parser (PCM 8/16/24/32-bit and IEEE float,
+  mono/multichannel) — no external library, always available;
+- everything else (flac, ogg/vorbis, opus, mp3, ...): the C++ ffmpeg
+  binding in ``sonar_tpu/native/audio_decode.cpp`` (libavformat/avcodec),
+  which exceeds the reference's libsndfile format coverage. When neither
+  the prebuilt library nor a toolchain+ffmpeg-dev is present, non-WAV input
+  raises a clear ValueError.
 """
 
 from __future__ import annotations
 
-import io
 import struct
 from dataclasses import dataclass
 from pathlib import Path
@@ -33,9 +38,10 @@ class DecodedAudio:
 
 
 def decode_wav_bytes(data: bytes) -> DecodedAudio:
-    """Parse a RIFF/WAVE blob -> float32 [T, C] in [-1, 1]."""
+    """Parse a RIFF/WAVE blob -> float32 [T, C] in [-1, 1]; other containers
+    route to the native ffmpeg decoder."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        return _decode_with_scipy(data)
+        return _decode_with_ffmpeg(data)
     pos = 12
     fmt = None
     raw = None
@@ -84,21 +90,11 @@ def decode_wav_bytes(data: bytes) -> DecodedAudio:
     return DecodedAudio(waveform=x, sample_rate=float(rate))
 
 
-def _decode_with_scipy(data: bytes) -> DecodedAudio:
-    try:
-        from scipy.io import wavfile
-    except ImportError as e:  # pragma: no cover
-        raise ValueError("unrecognized audio container (only wav supported)") from e
-    rate, x = wavfile.read(io.BytesIO(data))
-    if x.dtype.kind == "i":
-        x = x.astype(np.float32) / float(np.iinfo(x.dtype).max + 1)
-    elif x.dtype.kind == "u":
-        x = (x.astype(np.float32) - 128.0) / 128.0
-    else:
-        x = x.astype(np.float32)
-    if x.ndim == 1:
-        x = x[:, None]
-    return DecodedAudio(waveform=x, sample_rate=float(rate))
+def _decode_with_ffmpeg(data: bytes) -> DecodedAudio:
+    from sonar_tpu.native import decode_audio_bytes
+
+    wave, rate = decode_audio_bytes(data)
+    return DecodedAudio(waveform=wave, sample_rate=rate)
 
 
 class AudioDecoder:

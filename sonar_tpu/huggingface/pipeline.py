@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import gc
 import logging
+import os
 from abc import ABC, abstractmethod
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -29,7 +30,15 @@ class PipelineConfig:
     device: str = "tpu"
     take: Optional[int] = None
     output_path: Optional[str] = None
+    # Arrow cache for resumable batch processing (reference
+    # ``huggingface_pipelines/pipeline.py:177-190``): non-streaming datasets
+    # are mapped in chunks of ``cache_chunk_batches`` batches, each persisted
+    # to ``output_path/cache_<Pipeline>_<chunk>.arrow``; a re-run after a
+    # crash skips every completed chunk (finer-grained than the reference's
+    # single whole-dataset cache file).
     cache_to_arrow: bool = False
+    load_from_cache_file: bool = True
+    cache_chunk_batches: int = 64
 
 
 @dataclass
@@ -60,10 +69,7 @@ class DatasetConfig:
             trust_remote_code=self.trust_remote_code,
         )
         if self.world_size > 1:
-            if self.streaming:
-                ds = ds.shard(num_shards=self.world_size, index=self.rank)
-            else:
-                ds = ds.shard(num_shards=self.world_size, index=self.rank)
+            ds = ds.shard(num_shards=self.world_size, index=self.rank)
         return ds
 
 
@@ -95,8 +101,57 @@ class Pipeline(ABC):
             return out
 
         kwargs: Dict[str, Any] = dict(batched=True, batch_size=self.config.batch_size)
-        result = dataset.map(mapper, **kwargs)
+        # Streaming datasets (IterableDataset) have no random access / Arrow
+        # backing, so the cache path only applies to regular datasets.
+        cached = (
+            self.config.cache_to_arrow
+            and self.config.output_path
+            and hasattr(dataset, "select")
+        )
+        if cached:
+            result = self._map_with_arrow_cache(dataset, mapper, kwargs)
+        else:
+            result = dataset.map(mapper, **kwargs)
         self.resource_manager()
-        if self.config.output_path:
-            result.save_to_disk(self.config.output_path)
+        if self.config.output_path and hasattr(result, "save_to_disk"):
+            # The cache .arrow files back `result`, so the final dataset must
+            # go to a subdirectory (save_to_disk refuses to overwrite them).
+            target = (
+                os.path.join(self.config.output_path, "dataset")
+                if cached
+                else self.config.output_path
+            )
+            result.save_to_disk(target)
         return result
+
+    def _map_with_arrow_cache(self, dataset, mapper, map_kwargs: Dict[str, Any]):
+        """Chunked ``dataset.map`` with per-chunk Arrow cache files.
+
+        Each chunk of ``cache_chunk_batches`` batches maps to its own
+        ``cache_<Pipeline>_<chunk>.arrow`` under ``output_path``; HF datasets
+        loads an existing cache file instead of recomputing, so re-running
+        after a mid-run crash resumes from the first incomplete chunk.
+        """
+        import datasets as hf_datasets
+
+        os.makedirs(self.config.output_path, exist_ok=True)
+        rows_per_chunk = self.config.batch_size * self.config.cache_chunk_batches
+        n = len(dataset)
+        parts = []
+        for ci, start in enumerate(range(0, max(n, 1), rows_per_chunk)):
+            chunk = dataset.select(range(start, min(start + rows_per_chunk, n)))
+            cache_file = os.path.join(
+                self.config.output_path,
+                f"cache_{type(self).__name__}_{ci:05d}.arrow",
+            )
+            parts.append(
+                chunk.map(
+                    mapper,
+                    cache_file_name=cache_file,
+                    load_from_cache_file=self.config.load_from_cache_file,
+                    **map_kwargs,
+                )
+            )
+        if len(parts) == 1:
+            return parts[0]
+        return hf_datasets.concatenate_datasets(parts)

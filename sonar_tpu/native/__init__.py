@@ -88,6 +88,104 @@ def load_library() -> Optional[ctypes.CDLL]:
         return _lib
 
 
+# -- audio decoding (ffmpeg libraries) ---------------------------------------
+
+_AUDIO_LIB_PATH = _DIR / "_sonar_audio.so"
+_AUDIO_SOURCES = [_DIR / "audio_decode.cpp"]
+_AUDIO_LINK = ["-lavformat", "-lavcodec", "-lavutil", "-lswresample"]
+
+_audio_lib: Optional[ctypes.CDLL] = None
+_audio_tried = False
+
+
+def _audio_needs_build() -> bool:
+    if not _AUDIO_LIB_PATH.exists():
+        return True
+    lib_mtime = _AUDIO_LIB_PATH.stat().st_mtime
+    return any(s.stat().st_mtime > lib_mtime for s in _AUDIO_SOURCES)
+
+
+def _build_audio() -> bool:
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O2",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        *(str(s) for s in _AUDIO_SOURCES),
+        *_AUDIO_LINK,
+        "-o",
+        str(_AUDIO_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError, PermissionError):
+        return False
+
+
+def load_audio_library() -> Optional[ctypes.CDLL]:
+    """Compile (if stale) and load the ffmpeg-backed decoder; None when the
+    toolchain or the ffmpeg dev libraries are unavailable."""
+    global _audio_lib, _audio_tried
+    with _lock:
+        if _audio_lib is not None or _audio_tried:
+            return _audio_lib
+        _audio_tried = True
+        if os.environ.get("SONAR_TPU_NO_NATIVE"):
+            return None
+        if _audio_needs_build() and not _build_audio():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_AUDIO_LIB_PATH))
+        except OSError:
+            return None
+        lib.sonar_audio_decode.restype = ctypes.c_int32
+        lib.sonar_audio_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.sonar_audio_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        _audio_lib = lib
+        return _audio_lib
+
+
+def decode_audio_bytes(data: bytes):
+    """Decode any ffmpeg-supported audio blob -> (float32 [T, C], rate).
+
+    Raises ValueError when the native decoder is unavailable or the blob
+    cannot be decoded.
+    """
+    import numpy as np
+
+    lib = load_audio_library()
+    if lib is None:
+        raise ValueError(
+            "native audio decoder unavailable (ffmpeg libraries not found); "
+            "only RIFF/WAV input is supported"
+        )
+    out = ctypes.POINTER(ctypes.c_float)()
+    n_frames = ctypes.c_int64()
+    rate = ctypes.c_int32()
+    channels = ctypes.c_int32()
+    rc = lib.sonar_audio_decode(
+        data, len(data), ctypes.byref(out), ctypes.byref(n_frames),
+        ctypes.byref(rate), ctypes.byref(channels),
+    )
+    if rc != 0:
+        raise ValueError(f"audio decode failed (ffmpeg error {rc})")
+    try:
+        n = n_frames.value * channels.value
+        wave = np.ctypeslib.as_array(out, shape=(n,)).astype(np.float32, copy=True)
+    finally:
+        lib.sonar_audio_free(out)
+    return wave.reshape(n_frames.value, channels.value), float(rate.value)
+
+
 class NativeSpmEncoder:
     """ctypes wrapper over the C++ Viterbi core; one instance per model."""
 

@@ -108,3 +108,47 @@ def test_dataset_config_sharding():
     cfg = DatasetConfig(dataset_name="unused", world_size=2, rank=1)
     shard = ds.shard(num_shards=cfg.world_size, index=cfg.rank)
     assert len(shard) == 5
+
+
+def test_arrow_cache_resume(tmp_path):
+    """Killed mid-run -> re-run skips every chunk whose cache file completed.
+
+    Reference capability: huggingface_pipelines/pipeline.py:177-190 (Arrow
+    cache files for dataset.map); here at chunk granularity.
+    """
+    from sonar_tpu.huggingface.pipeline import Pipeline, PipelineConfig
+
+    calls = {"n": 0, "fail_after": None}
+
+    class Doubler(Pipeline):
+        def process_batch(self, batch):
+            calls["n"] += 1
+            if calls["fail_after"] is not None and calls["n"] > calls["fail_after"]:
+                raise RuntimeError("simulated crash")
+            return {"y": [x * 2 for x in batch["x"]]}
+
+    ds = datasets.Dataset.from_dict({"x": list(range(40))})
+    cfg = PipelineConfig(
+        batch_size=5,
+        output_path=str(tmp_path / "out"),
+        cache_to_arrow=True,
+        cache_chunk_batches=2,  # chunks of 10 rows = 2 batches
+    )
+
+    # First run dies after 4 batches (= 2 complete chunks of 2 batches).
+    calls["fail_after"] = 4
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        Doubler(cfg)(ds)
+    assert calls["n"] == 5  # 4 ok + the failing one
+
+    # Re-run: the 2 completed chunks load from Arrow, only the rest computes.
+    calls["n"], calls["fail_after"] = 0, None
+    result = Doubler(cfg)(ds)
+    assert calls["n"] == 4  # chunks 2,3 = 4 batches; chunks 0,1 were cached
+    assert result["y"] == [x * 2 for x in range(40)]
+
+    # Third run: everything cached, zero recomputation.
+    calls["n"] = 0
+    result = Doubler(cfg)(ds)
+    assert calls["n"] == 0
+    assert result["y"] == [x * 2 for x in range(40)]
