@@ -12,11 +12,14 @@ Used by bench.py; available to pipelines via ``batching="static"``.
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, List, Sequence
+import logging
+from typing import Dict, Iterable, Iterator, List, Sequence, Tuple
 
 import numpy as np
 
 from sonar_tpu.data.collate import SequenceBatch
+
+logger = logging.getLogger(__name__)
 
 
 class StaticShapeBatcher:
@@ -26,11 +29,19 @@ class StaticShapeBatcher:
         len_buckets: Sequence[int] = (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512),
         tokens_per_batch: int = 16384,
         min_batch: int = 8,
+        flush_merge: bool = True,
     ):
         self.pad_value = pad_value
         self.len_buckets = tuple(sorted(len_buckets))
         self.tokens_per_batch = tokens_per_batch
         self.min_batch = min_batch
+        # At end-of-stream, promote sparsely-filled remainder batches into the
+        # next length bucket: a few extra pad tokens per item beats emitting a
+        # mostly-empty full-shape batch.
+        self.flush_merge = flush_merge
+        # Fill diagnostics of the last ``batches()`` run: per emitted batch
+        # (bucket_len, rows_used, rows_total, real_tokens).
+        self.last_stats: List[Tuple[int, int, int, int]] = []
 
     def bucket_of(self, n: int) -> int:
         for b in self.len_buckets:
@@ -42,29 +53,68 @@ class StaticShapeBatcher:
         b = max(self.min_batch, self.tokens_per_batch // bucket)
         return max(self.min_batch, (b // 8) * 8)  # sublane-friendly batch
 
-    def batches(self, token_lists: Iterable[Sequence[int]]) -> Iterator[SequenceBatch]:
+    def batches(
+        self,
+        token_lists: Iterable[Sequence[int]],
+        yield_indices: bool = False,
+    ) -> Iterator:
         """Group by length bucket, emit full [B_bucket, bucket] batches.
 
         Items within a bucket keep arrival order; buckets flush when full
-        and at the end (remainder rows are batch padding).
+        and at the end (remainder rows are batch padding). With
+        ``yield_indices`` each yield is ``(batch, input_positions)`` so a
+        caller can restore input order across the bucket interleaving.
         """
-        pending: dict = {b: [] for b in self.len_buckets}
-        for item in token_lists:
-            item = list(item)[: self.len_buckets[-1]]
-            b = self.bucket_of(len(item))
+        self.last_stats = []
+        self._yield_indices = yield_indices
+        pending: Dict[int, list] = {b: [] for b in self.len_buckets}
+        for pos, item in enumerate(token_lists):
+            item = (pos, list(item)[: self.len_buckets[-1]])
+            b = self.bucket_of(len(item[1]))
             pending[b].append(item)
             if len(pending[b]) >= self.batch_size_for(b):
                 yield self._make(pending[b], b)
                 pending[b] = []
-        for b, items in pending.items():
-            if items:
-                yield self._make(items, b)
+        # Flush: ascending buckets; sparsely-filled remainders promote to the
+        # next bucket when the added length padding is cheaper than the empty
+        # rows of a dedicated batch.
+        for bi, b in enumerate(self.len_buckets):
+            items = pending[b]
+            if not items:
+                continue
+            bsz = self.batch_size_for(b)
+            while len(items) >= bsz:
+                yield self._make(items[:bsz], b)
+                items = items[bsz:]
+            if not items:
+                continue
+            if self.flush_merge and bi + 1 < len(self.len_buckets):
+                nb = self.len_buckets[bi + 1]
+                # cost of emitting the partial batch here = its empty rows;
+                # cost of promoting = the extra per-item length padding
+                # (the items may then fill nb's batch; cascades greedily).
+                own_cost = (bsz - len(items)) * b
+                promote_cost = len(items) * (nb - b)
+                if promote_cost < own_cost:
+                    pending[nb] = items + pending[nb]
+                    continue
+            yield self._make(items, b)
 
-    def _make(self, items: List[Sequence[int]], bucket: int) -> SequenceBatch:
+    def _make(self, items: List[Tuple[int, Sequence[int]]], bucket: int):
         bsz = self.batch_size_for(bucket)
         seqs = np.full((bsz, bucket), self.pad_value, np.int32)
         lens = np.zeros((bsz,), np.int32)
-        for i, it in enumerate(items):
+        for i, (_, it) in enumerate(items):
             seqs[i, : len(it)] = np.asarray(it, np.int32)
             lens[i] = len(it)
-        return SequenceBatch(seqs=seqs, seq_lens=lens, true_batch=len(items))
+        self.last_stats.append((bucket, len(items), bsz, int(lens.sum())))
+        if logger.isEnabledFor(logging.DEBUG):
+            logger.debug(
+                "batch [%d, %d]: %d/%d rows, %.1f%% real tokens",
+                bsz, bucket, len(items), bsz,
+                100.0 * lens.sum() / (bsz * bucket),
+            )
+        batch = SequenceBatch(seqs=seqs, seq_lens=lens, true_batch=len(items))
+        if self._yield_indices:
+            return batch, np.asarray([pos for pos, _ in items], np.int64)
+        return batch

@@ -34,6 +34,19 @@ def _len_buckets_for(max_len: int) -> tuple:
     return tuple(b for b in DEFAULT_LEN_BUCKETS if b < max_len) + (max_len,)
 
 
+# Fine-grained buckets for static batching: sentence-length distributions
+# concentrate under ~48 tokens, where coarse pow2 buckets waste 20-30% of
+# padded compute; the tail stays coarse to bound the compile count.
+STATIC_LEN_BUCKETS = (
+    10, 12, 14, 16, 18, 20, 22, 24, 26, 28, 32, 36, 40, 48, 64, 96, 128,
+    192, 256, 384, 512,
+)
+
+
+def _static_len_buckets_for(max_len: int) -> tuple:
+    return tuple(b for b in STATIC_LEN_BUCKETS if b < max_len) + (max_len,)
+
+
 class JitTextEncoder:
     """Shape-bucketed jit wrapper around a SonarTextEncoder + params.
 
@@ -145,7 +158,15 @@ class TextToEmbeddingModelPipeline:
         max_seq_len: Optional[int] = None,
         progress_bar: bool = False,
         target_device=None,
+        batching: str = "dynamic",
     ) -> np.ndarray:
+        """``batching="dynamic"`` keeps the reference's token-budget
+        dynamic bucketing (``sonar/inference_pipelines/text.py:226-247``);
+        ``"static"`` routes through ``StaticShapeBatcher`` — fixed
+        (batch, len) shapes per length bucket with remainder flush-merge,
+        the TPU-serving configuration ``bench.py`` measures."""
+        if batching not in ("dynamic", "static"):
+            raise ValueError(f"unknown batching mode: {batching!r}")
         if batch_max_tokens is None and batch_size is None:
             raise ValueError(
                 "at least one of `batch_size` or `batch_max_tokens` should be provided"
@@ -176,13 +197,44 @@ class TextToEmbeddingModelPipeline:
         if isinstance(input, (str, Path)):
             builder = read_text(Path(input))
             sorting_index = None
+        elif len(input) == 0:
+            return np.zeros((0, self.model.model_dim), np.float32)
+        elif batching == "static":
+            # Length buckets group by size already; skip the pre-sort and
+            # restore order from the batcher's input positions.
+            sorting_index = None
+            builder = read_sequence(list(input))
         else:
-            if len(input) == 0:
-                return np.zeros((0, self.model.model_dim), np.float32)
             sorting_index = np.argsort([len(s) for s in input], kind="stable")
             builder = read_sequence([input[i] for i in sorting_index])
 
         pad_idx = self.tokenizer.vocab_info.pad_idx
+
+        if batching == "static":
+            from sonar_tpu.data.batcher import StaticShapeBatcher
+
+            batcher = StaticShapeBatcher(
+                pad_value=pad_idx,
+                len_buckets=_static_len_buckets_for(max_seq_len),
+                tokens_per_batch=batch_max_tokens or 8192,
+            )
+            tokens = builder.map(tokenizer_encoder).map(truncate).and_return()
+            embs: List[np.ndarray] = []
+            positions: List[np.ndarray] = []
+            with precision_context(self.model.dtype):
+                for batch, pos in batcher.batches(iter(tokens), yield_indices=True):
+                    embs.append(self.model.encode_batch(batch))
+                    positions.append(pos)
+            if n_truncated:
+                warnings.warn(
+                    f"For {n_truncated} input tensors for SONAR text encoder, "
+                    f"the length was truncated to {max_seq_len} elements."
+                )
+            if not embs:
+                return np.zeros((0, self.model.model_dim), np.float32)
+            out = np.concatenate(embs, axis=0)
+            order = np.argsort(np.concatenate(positions), kind="stable")
+            return out[order]
         collater = Collater(pad_idx, len_buckets=_len_buckets_for(max_seq_len))
 
         pipeline = (

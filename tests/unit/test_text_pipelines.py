@@ -134,3 +134,17 @@ def test_text_to_text(toy_bundle):
     )
     assert len(out) == 3
     assert all(isinstance(t, str) for t in out)
+
+
+def test_text_to_embedding_static_batching_matches_dynamic(toy_bundle):
+    tok, (encoder, enc_params), _ = toy_bundle
+    pipe = TextToEmbeddingModelPipeline(encoder=(encoder, enc_params), tokenizer=tok)
+    dyn = pipe.predict(SENTENCES, source_lang="eng_Latn", batch_size=2)
+    sta = pipe.predict(
+        SENTENCES, source_lang="eng_Latn", batch_size=2, batching="static"
+    )
+    assert sta.shape == dyn.shape
+    np.testing.assert_allclose(sta, dyn, atol=1e-4)
+
+    with pytest.raises(ValueError, match="unknown batching mode"):
+        pipe.predict(SENTENCES, source_lang="eng_Latn", batching="nope")
