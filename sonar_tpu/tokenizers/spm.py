@@ -12,7 +12,9 @@ Implemented:
 - whitespace escaping to U+2581 with optional dummy prefix,
 - unigram-LM Viterbi segmentation with byte-fallback and UNK penalty
   (same algorithm as sentencepiece's ``UnigramModel::Encode``),
-- longest-match segmentation for BPE-merge-free fallback on BPE models,
+- true BPE merge encoding for BPE-type models (score-priority agenda over
+  adjacent pairs, leftmost-first ties — sentencepiece ``BpeModel::Encode``
+  semantics),
 - control-symbol extension (fairseq2 ``SentencePieceModel(path, symbols)``).
 
 A C++ core (``sonar_tpu/native``) accelerates batch encoding when built; this
@@ -26,6 +28,7 @@ from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Union
 
 from sonar_tpu.tokenizers.spm_proto import (
+    MODEL_BPE,
     MODEL_UNIGRAM,
     PIECE_BYTE,
     PIECE_CONTROL,
@@ -178,6 +181,8 @@ class SentencePieceModel:
             if native is not None:
                 return native.encode_normalized(s)
             return self._viterbi(s)
+        if self.model_type == MODEL_BPE:
+            return self._bpe_encode(s)
         return self._longest_match(s)
 
     def _native_encoder(self):
@@ -251,6 +256,68 @@ class SentencePieceModel:
         if self.byte_fallback:
             return [self._byte_ids[b] for b in chunk.encode("utf-8")]
         return [self.unk_idx if self.unk_idx is not None else 0]
+
+    def _bpe_encode(self, s: str) -> List[int]:
+        """SentencePiece BPE: repeatedly merge the adjacent symbol pair whose
+        concatenation is a vocab piece with the highest score (piece scores
+        encode merge priority, typically -rank); ties resolve to the
+        leftmost pair. sentencepiece ``BpeModel::Encode`` semantics.
+        Symbols that end un-merged and are not vocab pieces fall back to
+        bytes/unk like the unigram path.
+        """
+        import heapq
+
+        sym: List[Optional[str]] = list(s)
+        n = len(sym)
+        if n == 0:
+            return []
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(0, n - 1))
+        rev = [0] * n  # bump on merge to invalidate stale heap entries
+        heap: List[tuple] = []
+
+        def push(i: int) -> None:
+            if i < 0:
+                return
+            j = nxt[i]
+            if j < 0 or sym[i] is None or sym[j] is None:
+                return
+            pid = self._seg_index.get(sym[i] + sym[j])
+            if pid is not None:
+                heapq.heappush(
+                    heap, (-self._scores[pid], i, rev[i], rev[j], pid)
+                )
+
+        for i in range(n - 1):
+            push(i)
+        while heap:
+            _, i, ri, rj, pid = heapq.heappop(heap)
+            if sym[i] is None or ri != rev[i]:
+                continue
+            j = nxt[i]
+            if j < 0 or sym[j] is None or rj != rev[j]:
+                continue
+            sym[i] = sym[i] + sym[j]
+            rev[i] += 1
+            sym[j] = None
+            nxt[i] = nxt[j]
+            if nxt[j] >= 0:
+                prv[nxt[j]] = i
+            push(prv[i])
+            push(i)
+
+        ids: List[int] = []
+        i = 0
+        while i >= 0:
+            piece = sym[i]
+            if piece is not None:
+                pid = self._seg_index.get(piece)
+                if pid is not None:
+                    ids.append(pid)
+                else:
+                    ids.extend(self._fallback_ids(piece))
+            i = nxt[i]
+        return ids
 
     def _longest_match(self, s: str) -> List[int]:
         ids: List[int] = []

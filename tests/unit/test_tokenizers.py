@@ -12,6 +12,7 @@ from sonar_tpu.tokenizers.laser2 import Laser2Tokenizer
 from sonar_tpu.tokenizers.spm import SentencePieceModel
 from sonar_tpu.tokenizers.spm_proto import (
     ModelProto,
+    NormalizerSpecProto,
     SentencePieceProto as P,
     TrainerSpecProto,
     parse_model_proto,
@@ -115,3 +116,51 @@ def test_laser2_id_offset(tmp_path):
     raw = tok.create_raw_encoder()("hello") + [3]  # + </s>
     shifted = enc("hello")
     assert shifted == [i + 4 if i >= 3 else i for i in raw]
+
+
+def test_bpe_merge_encoding_matches_hf_tokenizers(tmp_path):
+    """True BPE merges (not longest-match): cross-checked against HF
+    `tokenizers` BPE with the same vocab + merge list. SentencePiece BPE
+    picks the highest-score (= lowest merge rank) adjacent pair first,
+    which is exactly merge-list order."""
+    hf_tokenizers = pytest.importorskip("tokenizers")
+
+    corpus = [
+        "aababcabcd", "abab", "dcba", "aaaa", "abcabc", "xyzzy",
+        "aabb" * 5, "bcbcbc",
+    ]
+    merges = [("a", "b"), ("ab", "c"), ("b", "c"), ("abc", "d"), ("a", "ab")]
+    alphabet = sorted({ch for w in corpus for ch in w})
+    vocab = {"<unk>": 0}
+    for ch in alphabet:
+        vocab[ch] = len(vocab)
+    for left, right in merges:
+        vocab[left + right] = len(vocab)
+
+    hf = hf_tokenizers.Tokenizer(
+        hf_tokenizers.models.BPE(
+            vocab=vocab, merges=merges, unk_token="<unk>"
+        )
+    )
+
+    # Same vocab/priorities as an spm BPE model: score = -merge_rank for
+    # merged pieces, chars score 0 (never merged by score, only seeds).
+    pieces = [P("<unk>", 0.0, 2)]
+    for ch in alphabet:
+        pieces.append(P(ch, 0.0))
+    for rank, (left, right) in enumerate(merges):
+        pieces.append(P(left + right, float(-(rank + 1))))
+    proto = ModelProto(
+        pieces=pieces,
+        trainer=TrainerSpecProto(model_type=2, unk_id=0, bos_id=-1,
+                                 eos_id=-1, pad_id=-1),
+        # raw comparison: no dummy prefix / whitespace escaping
+        normalizer=NormalizerSpecProto(add_dummy_prefix=False),
+    )
+    m = SentencePieceModel(serialize_model_proto(proto))
+    assert m.model_type == 2
+
+    for word in corpus:
+        ours = [m.id_to_piece(i) for i in m.encode(word)]
+        theirs = hf.encode(word, add_special_tokens=False).tokens
+        assert ours == theirs, (word, ours, theirs)
