@@ -56,22 +56,33 @@ class TextSegmentationPipelineConfig(PipelineConfig):
 class TextSegmentationPipeline(Pipeline):
     config: TextSegmentationPipelineConfig
 
+    # Language -> spaCy model, same 7 languages as the reference
+    # (huggingface_pipelines/text.py:82-90). Languages outside the map use
+    # the rule-based splitter rather than mis-segmenting with an English
+    # model (the reference simply has no fallback).
+    SPACY_MODELS = {
+        "eng_Latn": "en_core_web_sm",
+        "fra_Latn": "fr_core_news_sm",
+        "deu_Latn": "de_core_news_sm",
+        "spa_Latn": "es_core_news_sm",
+        "ita_Latn": "it_core_news_sm",
+        "por_Latn": "pt_core_news_sm",
+        "nld_Latn": "nl_core_news_sm",
+    }
+
     def __init__(self, config: TextSegmentationPipelineConfig):
         super().__init__(config)
         self._spacy = self._try_spacy(config.source_lang)
 
-    @staticmethod
-    def _try_spacy(lang: str):
+    @classmethod
+    def _try_spacy(cls, lang: str):
+        model = cls.SPACY_MODELS.get(lang)
+        if model is None:
+            return None
         try:  # pragma: no cover - spaCy not installed in this environment
             import spacy
 
-            model_map = {
-                "eng_Latn": "en_core_web_sm",
-                "fra_Latn": "fr_core_news_sm",
-                "deu_Latn": "de_core_news_sm",
-                "spa_Latn": "es_core_news_sm",
-            }
-            return spacy.load(model_map.get(lang, "en_core_web_sm"))
+            return spacy.load(model)
         except Exception:
             return None
 

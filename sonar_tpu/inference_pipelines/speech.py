@@ -45,8 +45,12 @@ class JitSpeechEncoder:
     """Waveform batches -> embeddings, fused fbank+encoder jit per bucket."""
 
     def __init__(self, model: SonarSpeechEncoder, params, fbank_config=FbankConfig(),
-                 quantize: bool = False, mesh=None):
+                 quantize: bool = False, mesh=None, fbank_dtype=None):
         self.model = model
+        # Reference parity: ``fbank_dtype`` picks the feature dtype
+        # (WaveformToFbankConverter(dtype=...), speech.py:289); half
+        # precision maps to bf16 on TPU (fp16 has no native support).
+        self.fbank_dtype = _normalize_fbank_dtype(fbank_dtype)
         if quantize:
             from sonar_tpu.ops.quantization import quantize_params_int8
 
@@ -63,6 +67,8 @@ class JitSpeechEncoder:
             feats, frame_lens = batched_fbank(
                 waves, wave_lens, max_frames, self.fbank_config
             )
+            if self.fbank_dtype is not None:
+                feats = feats.astype(self.fbank_dtype)
             out = model.apply(params, feats, frame_lens)
             return out.sentence_embeddings
 
@@ -100,15 +106,37 @@ class JitSpeechEncoder:
         return np.asarray(emb)[:b]
 
 
-def _resolve_speech_encoder(encoder) -> JitSpeechEncoder:
+def _normalize_fbank_dtype(dt):
+    """Accept torch/numpy/jax dtypes or strings; half precision -> bf16 on
+    TPU (the reference's fp16-on-CUDA guard, speech.py:346-349, maps to the
+    TPU-native half type)."""
+    if dt is None:
+        return None
+    import jax.numpy as jnp
+
+    name = getattr(dt, "__name__", None) or str(dt)
+    name = name.replace("torch.", "").replace("jax.numpy.", "")
+    if name in ("float16", "half", "bfloat16"):
+        return jnp.bfloat16
+    if name in ("float32", "float"):
+        return jnp.float32
+    raise ValueError(f"unsupported fbank_dtype: {dt!r}")
+
+
+def _resolve_speech_encoder(encoder, fbank_dtype=None) -> JitSpeechEncoder:
     if isinstance(encoder, JitSpeechEncoder):
+        if fbank_dtype is not None:
+            encoder.fbank_dtype = _normalize_fbank_dtype(fbank_dtype)
         return encoder
     if isinstance(encoder, str):
         from sonar_tpu.assets.hub import load_speech_encoder
 
-        return load_speech_encoder(encoder)
+        enc = load_speech_encoder(encoder)
+        if fbank_dtype is not None:
+            enc.fbank_dtype = _normalize_fbank_dtype(fbank_dtype)
+        return enc
     if isinstance(encoder, tuple) and isinstance(encoder[0], SonarSpeechEncoder):
-        return JitSpeechEncoder(encoder[0], encoder[1])
+        return JitSpeechEncoder(encoder[0], encoder[1], fbank_dtype=fbank_dtype)
     raise TypeError(
         "encoder must be a card name, JitSpeechEncoder, or (SonarSpeechEncoder, params)"
     )
@@ -150,7 +178,7 @@ class SpeechModelPipelineInterface:
 class SpeechToEmbeddingModelPipeline(SpeechModelPipelineInterface):
     def __init__(self, encoder, device=None, fbank_dtype=None) -> None:
         super().__init__()
-        self.model = _resolve_speech_encoder(encoder)
+        self.model = _resolve_speech_encoder(encoder, fbank_dtype=fbank_dtype)
 
     def predict(
         self,
@@ -186,7 +214,7 @@ class SpeechToTextModelPipeline(SpeechModelPipelineInterface):
             _resolve_tokenizer,
         )
 
-        self.model = _resolve_speech_encoder(encoder)
+        self.model = _resolve_speech_encoder(encoder, fbank_dtype=fbank_dtype)
         self.decoder = _resolve_decoder(decoder)
         self.tokenizer = _resolve_tokenizer(tokenizer)
 

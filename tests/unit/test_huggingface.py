@@ -152,3 +152,18 @@ def test_arrow_cache_resume(tmp_path):
     result = Doubler(cfg)(ds)
     assert calls["n"] == 0
     assert result["y"] == [x * 2 for x in range(40)]
+
+
+def test_segmentation_spacy_model_map():
+    """7-language spaCy model map mirrors the reference
+    (huggingface_pipelines/text.py:82-90); unmapped languages use the
+    rule-based splitter instead of an English model."""
+    m = TextSegmentationPipeline.SPACY_MODELS
+    assert len(m) == 7
+    assert m["por_Latn"] == "pt_core_news_sm"
+    assert TextSegmentationPipeline._try_spacy("jpn_Jpan") is None
+
+    cfg = TextSegmentationPipelineConfig(columns=["text"], source_lang="jpn_Jpan")
+    pipe = TextSegmentationPipeline(cfg)
+    out = pipe.process_batch({"text": ["One. Two! Three?"]})
+    assert out["text_output"][0] == ["One.", "Two!", "Three?"]

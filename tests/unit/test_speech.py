@@ -262,3 +262,34 @@ def test_non_16k_wav_is_resampled(tmp_path):
     iface = SpeechModelPipelineInterface()
     wave = iface._decode_audio(str(p))
     assert abs(wave.shape[0] - 16000) <= 2  # 1 second at 16 kHz
+
+
+def test_fbank_dtype_honored(tmp_path):
+    """fbank_dtype parity (reference speech.py:289,346-349): half precision
+    maps to bf16 features on TPU and changes the computed embedding dtype
+    path; fp32 default unchanged; bogus dtype rejected."""
+    import pytest as _pytest
+
+    from sonar_tpu.inference_pipelines.speech import (
+        JitSpeechEncoder,
+        SpeechToEmbeddingModelPipeline,
+        _normalize_fbank_dtype,
+    )
+
+    assert _normalize_fbank_dtype(None) is None
+    assert _normalize_fbank_dtype("float16") == jnp.bfloat16
+    assert _normalize_fbank_dtype(np.float32) == jnp.float32
+    with _pytest.raises(ValueError):
+        _normalize_fbank_dtype("int8")
+
+    cfg = sonar_speech_encoder_archs.get("toy")
+    model = SonarSpeechEncoder(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    enc = JitSpeechEncoder(model, params, fbank_config=FbankConfig(num_mel_bins=8))
+    pipe = SpeechToEmbeddingModelPipeline(encoder=enc, fbank_dtype="float16")
+    assert enc.fbank_dtype == jnp.bfloat16
+
+    rng = np.random.default_rng(0)
+    emb = pipe.predict([(rng.normal(size=8000) * 0.1).astype(np.float32)],
+                       batch_size=1)
+    assert emb.shape == (1, 32) and np.isfinite(emb).all()
