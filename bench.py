@@ -79,8 +79,6 @@ def main() -> None:
         lambda p, seqs, lens: model.apply(p, seqs, lens).sentence_embeddings
     )
 
-    rng = np.random.default_rng(0)
-    corpus = synthetic_corpus(rng, N_SENTENCES)
     # Static-shape batching: one fixed (batch, len) shape per length bucket,
     # batches filled completely — minimal padding waste AND bounded compiles.
     from sonar_tpu.data.batcher import StaticShapeBatcher
@@ -89,32 +87,44 @@ def main() -> None:
         pad_value=1, len_buckets=LEN_BUCKETS,
         tokens_per_batch=BATCH_MAX_TOKENS,
     )
-    batches = list(batcher.batches(corpus))
-    real = sum(int(b.seq_lens.sum()) for b in batches)
-    padded = sum(b.seqs.size for b in batches)
+    # Three distinct corpora (same distribution, different seeds): the
+    # tunneled chip shows ~±15% run-to-run noise, so the recorded value is
+    # the median of three passes; identical inputs across passes would hit
+    # the tunnel's content caching (CLAUDE.md), hence fresh data per pass.
+    passes = []
+    for seed in (0, 1, 2):
+        corpus = synthetic_corpus(np.random.default_rng(seed), N_SENTENCES)
+        passes.append(list(batcher.batches(corpus)))
+
+    real = sum(int(b.seq_lens.sum()) for b in passes[0])
+    padded = sum(b.seqs.size for b in passes[0])
     print(f"# padding waste: {(1 - real / padded) * 100:.1f}% "
-          f"({len(set(b.seqs.shape for b in batches))} shapes)")
+          f"({len(set(b.seqs.shape for b in passes[0]))} shapes)")
 
     # Warm every (batch, len) bucket shape out of the timed region.
     seen = set()
-    for b in batches:
+    for b in [x for p in passes for x in p]:
         key = b.seqs.shape
         if key not in seen:
             seen.add(key)
             np.asarray(encode(params, jnp.asarray(b.seqs), jnp.asarray(b.seq_lens)))
 
-    t0 = time.perf_counter()
-    outs = [
-        (encode(params, jnp.asarray(b.seqs), jnp.asarray(b.seq_lens)), b.true_batch)
-        for b in batches
-    ]
-    total = 0
-    for o, nb in outs:
-        np.asarray(o)
-        total += nb
-    dt = time.perf_counter() - t0
+    rates = []
+    for batches in passes:
+        t0 = time.perf_counter()
+        outs = [
+            (encode(params, jnp.asarray(b.seqs), jnp.asarray(b.seq_lens)),
+             b.true_batch)
+            for b in batches
+        ]
+        total = 0
+        for o, nb in outs:
+            np.asarray(o)
+            total += nb
+        rates.append(total / (time.perf_counter() - t0))
 
-    sents_per_sec = total / dt
+    sents_per_sec = sorted(rates)[len(rates) // 2]
+    print(f"# passes: {[round(r) for r in rates]}")
     print(
         json.dumps(
             {

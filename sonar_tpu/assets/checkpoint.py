@@ -43,7 +43,13 @@ def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
     out = {}
     for k, v in state.items():
         if hasattr(v, "detach"):
-            out[k] = v.detach().to(torch.float32).cpu().numpy()
+            # np.array(copy=True) detaches from torch-owned memory: numpy
+            # transpose-copies out of torch buffers are pathologically
+            # slow (~70x measured), which would make 600M-param
+            # conversions take hours.
+            out[k] = np.array(
+                v.detach().to(torch.float32).cpu().numpy(), copy=True
+            )
     return out
 
 

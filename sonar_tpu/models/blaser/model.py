@@ -133,7 +133,8 @@ def blaser_params_from_torch(flat) -> Params:
     )
     mlp = {}
     for new_i, i in enumerate(idxs):
-        p = {"kernel": np.ascontiguousarray(flat[f"mlp.{i}.weight"].T)}
+        w = np.array(flat[f"mlp.{i}.weight"], dtype=np.float32, copy=True)
+        p = {"kernel": np.ascontiguousarray(w.T)}
         if f"mlp.{i}.bias" in flat:
             p["bias"] = flat[f"mlp.{i}.bias"]
         mlp[str(new_i)] = p

@@ -75,6 +75,7 @@ def mutox_params_from_torch(flat) -> Params:
     layers = {}
     for g in range(3):
         w = flat[f"model_all.{g}.1.weight"]
+        w = np.array(w, dtype=np.float32, copy=True)
         p = {"kernel": np.ascontiguousarray(w.T)}
         if f"model_all.{g}.1.bias" in flat:
             p["bias"] = flat[f"model_all.{g}.1.bias"]

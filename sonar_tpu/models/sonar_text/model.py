@@ -48,9 +48,12 @@ class SonarTextEncoder:
     """Config-bound functional model: ``init_params`` + pure ``apply``."""
 
     def __init__(self, config: SonarTextEncoderConfig, dtype=jnp.float32,
-                 remat: bool = False):
+                 remat: bool = False, scan_unroll: int = 1):
         self.config = config
         self.dtype = dtype
+        # lax.scan unroll over the layer stack (perf knob; 1 = smallest
+        # program, >1 lets XLA overlap weight prefetch across layers).
+        self.scan_unroll = scan_unroll
         # Rematerialize encoder layers in the backward pass (fine-tuning
         # memory knob; inference unaffected).
         self.remat = remat
@@ -180,6 +183,7 @@ class SonarTextEncoder:
             cfg.activation_fn,
             norm_order="pre",
             remat=self.remat,
+            unroll=self.scan_unroll,
         )
         if "layer_norm" in params["encoder"]:
             x = layer_norm(params["encoder"]["layer_norm"], x)

@@ -171,7 +171,40 @@ def init_ffn(rng: jax.Array, model_dim: int, inner_dim: int, dtype=jnp.float32) 
     }
 
 
+_FFN_IMPL = "auto"  # auto | xla — fused Pallas kernel for int8 relu FFNs
+
+
+def set_ffn_impl(impl: str) -> None:
+    global _FFN_IMPL
+    if impl not in ("auto", "xla"):
+        raise ValueError(f"unknown ffn impl: {impl}")
+    _FFN_IMPL = impl
+
+
 def ffn(params: Params, x: jnp.ndarray, activation: str) -> jnp.ndarray:
+    inner, out = params["inner_proj"], params["output_proj"]
+    if (
+        _FFN_IMPL == "auto"
+        and activation == "relu"
+        and "kernel_q" in inner
+        and "kernel_q" in out
+        and "bias" in inner
+        and "bias" in out
+        and inner["kernel_q"].shape[1] % 256 == 0
+        and inner["kernel_q"].shape[0] % 128 == 0
+        and jax.default_backend() == "tpu"
+    ):
+        # Fused int8 FFN: the [tokens, F] inner activation stays in VMEM
+        # (sonar_tpu.ops.pallas.ffn) — the encode path's dominant HBM cost.
+        from sonar_tpu.ops.pallas.ffn import fused_int8_ffn
+
+        shape = x.shape
+        y = fused_int8_ffn(
+            x.reshape(-1, shape[-1]),
+            inner["kernel_q"], inner["scale"], inner["bias"],
+            out["kernel_q"], out["scale"], out["bias"],
+        )
+        return y.reshape(shape)
     act = get_activation(activation)
     return linear(params["output_proj"], act(linear(params["inner_proj"], x)))
 
@@ -244,8 +277,13 @@ def encoder_stack(
     activation: str,
     norm_order: str = "pre",
     remat: bool = False,
+    unroll: int = 1,
 ) -> jnp.ndarray:
-    """Run L encoder layers via lax.scan over stacked params."""
+    """Run L encoder layers via lax.scan over stacked params.
+
+    ``unroll`` > 1 lets XLA schedule several layer bodies together (weight
+    prefetch overlap / cross-layer fusion) at the cost of program size.
+    """
 
     def body(carry, layer_params):
         y = encoder_layer(layer_params, carry, bias, num_heads, activation, norm_order)
@@ -253,7 +291,7 @@ def encoder_stack(
 
     if remat:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, stacked_params)
+    x, _ = jax.lax.scan(body, x, stacked_params, unroll=unroll)
     return x
 
 

@@ -1,0 +1,119 @@
+"""Fused int8 FFN Pallas kernel: x -> relu(x@W1+b1)@W2 (+b2 outside).
+
+Why: the text-encode path is HBM-bandwidth-bound, and the FFN pair
+dominates it — the [tokens, 8192] inner activation plus the dynamic-quant
+round trips cost ~900 MB/layer on the XLA path (compiled cost analysis).
+Here the inner activation lives only in VMEM: per grid step the kernel
+quantizes a row block of x (per-row dynamic scales, same scheme as
+``ops.quantization.int8_linear``), runs x_q @ W1h on the int8 MXU path,
+applies bias+ReLU in fp32, re-quantizes per row, and accumulates the second
+int8 matmul — only x and the output ever touch HBM.
+
+The 8192-wide FFN is processed in column halves (two ``pallas_call``s whose
+weight blocks are grid-constant, i.e. DMA'd once and resident in VMEM:
+int8 W1-half + W2-half = 8 MB of the ~16 MB VMEM) and the halves' partial
+outputs are summed by XLA. ReLU is exact under the split: relu happens per
+half BEFORE the second matmul, and columns of W1 are independent.
+
+Weight layout matches ``quantize_params_int8``: kernel_q [in, out] int8,
+scale [1, out] fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ffn_half_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, o_ref):
+    x = x_ref[...]                                   # [bm, D] bf16
+    # Per-row dynamic int8 quantization of x (fp32 math on a small tile).
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    x_scale = jnp.maximum(absmax / 127.0, 1e-12)     # [bm, 1]
+    x_q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
+    ).astype(jnp.int8)
+
+    acc1 = jax.lax.dot_general(
+        x_q, w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                # [bm, Fh] int32
+    h = acc1.astype(jnp.float32) * x_scale * s1_ref[...] + b1_ref[...]
+    h = jnp.maximum(h, 0.0)                          # [bm, Fh] fp32
+
+    h_absmax = jnp.max(h, axis=-1, keepdims=True)    # relu => h >= 0
+    h_scale = jnp.maximum(h_absmax / 127.0, 1e-12)
+    h_q = jnp.clip(jnp.round(h / h_scale), -127, 127).astype(jnp.int8)
+
+    acc2 = jax.lax.dot_general(
+        h_q, w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                                # [bm, D] int32
+    o_ref[...] = (
+        acc2.astype(jnp.float32) * h_scale * s2_ref[...]
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "n_splits", "interpret"))
+def fused_int8_ffn(
+    x: jnp.ndarray,        # [M, D] bf16/fp32
+    w1_q: jnp.ndarray,     # [D, F] int8
+    w1_scale: jnp.ndarray, # [1, F] fp32
+    b1: jnp.ndarray,       # [F]
+    w2_q: jnp.ndarray,     # [F, D] int8
+    w2_scale: jnp.ndarray, # [1, D] fp32
+    b2: jnp.ndarray,       # [D]
+    block_m: int = 256,
+    n_splits: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    m, d = x.shape
+    f = w1_q.shape[1]
+    assert f % n_splits == 0
+    fh = f // n_splits
+
+    block_m = min(block_m, max(8, m))
+    pad_m = (-m) % block_m
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    grid = ((m + pad_m) // block_m,)
+
+    const = lambda i: (0, 0)
+    kernel = pl.pallas_call(
+        _ffn_half_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, fh), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fh), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fh), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((fh, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_m, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m + pad_m, d), x.dtype),
+        interpret=interpret,
+    )
+
+    out = None
+    for s in range(n_splits):
+        sl = slice(s * fh, (s + 1) * fh)
+        part = kernel(
+            x,
+            w1_q[:, sl],
+            w1_scale[:, sl].astype(jnp.float32),
+            b1[None, sl].astype(jnp.float32),
+            w2_q[sl, :],
+            w2_scale.astype(jnp.float32),
+        )
+        out = part if out is None else out + part
+    out = out + b2[None, :].astype(out.dtype)
+    return out[:m]

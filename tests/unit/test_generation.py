@@ -36,13 +36,28 @@ def _tiny_decoder():
     return dec, params
 
 
-def _oracle_logprob_fn(dec, params, memory_row):
+def _oracle_logprob_fn(dec, params, memory_row, max_rows=8, max_len=16):
+    """Teacher-forced next-token logprobs with ONE compiled program: inputs
+    are padded to a fixed [max_rows, max_len] shape (distinct eager shapes
+    per beam/step otherwise dominate test wall time)."""
+
+    @jax.jit
+    def fwd(seqs, lens):
+        mem = jnp.tile(memory_row, (max_rows, 1, 1))
+        logits = dec.forward(params, seqs, lens, mem)
+        pos = jnp.clip(lens - 1, 0, max_len - 1)
+        last = jnp.take_along_axis(logits, pos[:, None, None], axis=1)[:, 0]
+        return jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+
     def fn(seqs):
-        arr = jnp.asarray(seqs, jnp.int32)
-        mem = jnp.tile(memory_row, (arr.shape[0], 1, 1))
-        logits = dec.forward(params, arr, None, mem)
-        lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
-        return np.asarray(lp)
+        n = len(seqs)
+        assert n <= max_rows and max(len(s) for s in seqs) <= max_len
+        arr = np.ones((max_rows, max_len), np.int32)
+        lens = np.ones((max_rows,), np.int32)
+        for i, s in enumerate(seqs):
+            arr[i, : len(s)] = s
+            lens[i] = len(s)
+        return np.asarray(fwd(jnp.asarray(arr), jnp.asarray(lens)))[:n]
 
     return fn
 
@@ -54,13 +69,13 @@ def test_beam_search_lax_matches_oracle():
     config = BeamSearchConfig(beam_size=3, max_gen_len=8, len_penalty=1.0)
 
     rng = jax.random.PRNGKey(3)
+    runtime = JitTextDecoder(dec, params)  # one runtime: one beam compile
     for i in range(3):
         memory = jax.random.normal(jax.random.fold_in(rng, i), (1, 1, dec.config.model_dim))
         want_tokens, want_score = beam_search_oracle(
             _oracle_logprob_fn(dec, params, memory), prefix, eos, config
         )
 
-        runtime = JitTextDecoder(dec, params)
         tokens, scores, lens = runtime.generate_beam(np.asarray(memory), prefix, config)
         got = tokens[0, 0][: int(lens[0, 0])].tolist()
         assert got == want_tokens, f"case {i}: {got} != {want_tokens}"

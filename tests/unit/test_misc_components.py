@@ -1,5 +1,5 @@
 """Coverage for the long tail: translation composition, mutox speech
-pipeline, asset registry, BPE longest-match, utils."""
+pipeline, asset registry, BPE merge semantics, utils."""
 
 import dataclasses
 import sys
@@ -43,12 +43,23 @@ def test_in_process_card_registration():
     assert store.model_card("my_model").arch == "toy"
 
 
-def test_bpe_longest_match():
+def test_bpe_merge_semantics():
+    """BPE-type models run true merges (sentencepiece BpeModel): a piece is
+    only produced when every intermediate merge exists, unlike the old
+    longest-match fallback which would emit any vocab substring."""
+    from sonar_tpu.tokenizers.spm_proto import SentencePieceProto as P
+
     proto = build_toy_spm_proto()
     proto.trainer.model_type = MODEL_BPE
+    # merge chain for "▁hi": chars + ▁h + ▁hi (scores = -rank)
+    proto.pieces = list(proto.pieces) + [
+        P("▁", 0.0), P("h", 0.0), P("i", 0.0), P("o", 0.0),
+        P("▁h", -1.0), P("▁hi", -2.0),
+    ]
     m = SentencePieceModel(serialize_model_proto(proto))
-    pieces = m.encode_as_pieces("hello world")
-    assert pieces == ["▁hello", "▁world"]
+    assert m.encode_as_pieces("hi") == ["▁hi"]
+    # "ho" has no ▁h+o merge: stops at the deepest mergeable symbols
+    assert m.encode_as_pieces("ho") == ["▁h", "o"]
 
 
 def test_translation_composition_with_dummy_encoder(tmp_path):
