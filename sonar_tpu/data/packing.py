@@ -8,9 +8,11 @@ pooling reduces each segment separately. One static shape serves the whole
 corpus — minimal compilations AND minimal padding.
 
 This is new TPU-native capability (the reference's C++ pipeline only does
-dynamic batching), used by bench.py and exposed via
-``JitTextEncoder.encode_packed`` / ``TextToEmbeddingModelPipeline``'s
-static batching mode.
+dynamic batching). Status (r2, measured on-chip): packed mode is numerically
+exact but LOSES to fine-bucketed static batching — block-diagonal attention
+at row length 128 costs more than the padding it saves once buckets are
+fine-grained (8.9% waste). It stays opt-in via ``apply_packed``;
+``StaticShapeBatcher`` (``batching="static"``) is the serving default.
 """
 
 from __future__ import annotations

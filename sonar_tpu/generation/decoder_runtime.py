@@ -22,15 +22,27 @@ from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
 
 class JitTextDecoder:
     def __init__(self, model: ConditionalTransformerDecoder, params,
-                 quantize: bool = False):
+                 quantize: bool = False, mesh=None):
         self.model = model
         if quantize:
-            # int8 weights for the decoder stack (chip-measured: ~10% faster
-            # steps, top-1 identical on random models; the tied projection
-            # stays fp — it reuses the embedding table).
+            # int8 decoder weights (opt-in; r2 chip measurement: SLOWER than
+            # bf16 for beam decode post-ancestry — dynamic-quant overhead at
+            # a few hundred rows outweighs the weight-byte savings — but
+            # useful for memory-constrained serving; beam outputs verified
+            # vs fp in tests/unit/test_quantized_pipeline.py).
             from sonar_tpu.ops.quantization import quantize_params_int8
 
             params = quantize_params_int8(params)
+        self.mesh = mesh
+        if mesh is not None:
+            # Data-parallel generation: params replicated + TP-sharded per
+            # the mesh rules, batch rows sharded over the 'data' axis in
+            # generate_*; GSPMD partitions the whole while_loop (per-row
+            # beam bookkeeping is batch-independent; the early-exit .any()
+            # becomes the only cross-device collective).
+            from sonar_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self.params = params
         self._beam_jit = {}
         self._sample_jit = {}
@@ -103,17 +115,24 @@ class JitTextDecoder:
         """memory: [B, 1, D]; returns (tokens [B,K,T], scores [B,K], lens [B,K])."""
         b = memory.shape[0]
         b_pad = round_up_pow2(b)
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            b_pad = -(-b_pad // n_data) * n_data
         if b_pad != b:
             memory = np.concatenate(
                 [memory, np.zeros((b_pad - b,) + memory.shape[1:], memory.dtype)]
             )
         prefix = np.tile(np.asarray(prefix_ids, np.int32)[None, :], (b_pad, 1))
+        mem_j, prefix_j = jnp.asarray(memory), jnp.asarray(prefix)
+        if self.mesh is not None:
+            from sonar_tpu.parallel.mesh import data_sharding
+
+            mem_j = jax.device_put(mem_j, data_sharding(self.mesh, "data", None, None))
+            prefix_j = jax.device_put(prefix_j, data_sharding(self.mesh, "data", None))
         key = (config, len(prefix_ids))
         if key not in self._beam_jit:
             self._beam_jit[key] = self._build_beam_fn(config, len(prefix_ids))
-        tokens, scores, lens = self._beam_jit[key](
-            self.params, jnp.asarray(memory), jnp.asarray(prefix)
-        )
+        tokens, scores, lens = self._beam_jit[key](self.params, mem_j, prefix_j)
         return np.asarray(tokens)[:b], np.asarray(scores)[:b], np.asarray(lens)[:b]
 
     # -- sampling ---------------------------------------------------------------

@@ -183,6 +183,9 @@ def set_ffn_impl(impl: str) -> None:
 
 def ffn(params: Params, x: jnp.ndarray, activation: str) -> jnp.ndarray:
     inner, out = params["inner_proj"], params["output_proj"]
+    n_tokens = 1
+    for dim in x.shape[:-1]:
+        n_tokens *= dim
     if (
         _FFN_IMPL == "auto"
         and activation == "relu"
@@ -192,6 +195,7 @@ def ffn(params: Params, x: jnp.ndarray, activation: str) -> jnp.ndarray:
         and "bias" in out
         and inner["kernel_q"].shape[1] % 256 == 0
         and inner["kernel_q"].shape[0] % 128 == 0
+        and n_tokens >= 2048  # decode steps (few rows) lose to XLA here
         and jax.default_backend() == "tpu"
     ):
         # Fused int8 FFN: the [tokens, F] inner activation stays in VMEM

@@ -154,3 +154,38 @@ def test_xsim_perfect_and_noisy():
     assert xsim(x, y) == 100.0
     # xsim++ with distractors: still perfect when distractors are far.
     assert xsim_pp(x, x, x + 100.0) == 0.0
+
+
+def test_mesh_sharded_beam_decode_matches_single_device(tmp_path):
+    """DP-sharded generation (JitTextDecoder(mesh=)): identical outputs to
+    the unsharded runtime — GSPMD partitions the whole beam while_loop over
+    the batch axis."""
+    from sonar_tpu.generation.beam_search import BeamSearchConfig
+    from sonar_tpu.generation.decoder_runtime import JitTextDecoder
+    from sonar_tpu.models.sonar_text import sonar_text_decoder_archs
+    from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
+
+    cfg = dataclasses.replace(
+        sonar_text_decoder_archs.get("toy"),
+        vocab_info=dataclasses.replace(
+            sonar_text_decoder_archs.get("toy").vocab_info, size=1024
+        ),
+    )
+    dec = ConditionalTransformerDecoder(cfg)
+    params = dec.init_params(jax.random.PRNGKey(0))
+    config = BeamSearchConfig(beam_size=2, max_gen_len=6)
+    eos = cfg.vocab_info.eos_idx
+    mem = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(4), (8, 1, cfg.model_dim)),
+        np.float32,
+    )
+
+    single = JitTextDecoder(dec, params)
+    mesh = make_mesh(data=4, model=2)
+    sharded = JitTextDecoder(dec, params, mesh=mesh)
+
+    t1, s1, l1 = single.generate_beam(mem, [eos, 5], config)
+    t2, s2, l2 = sharded.generate_beam(mem, [eos, 5], config)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_allclose(s1, s2, atol=1e-4)
