@@ -114,6 +114,26 @@ def mha(
         from sonar_tpu.ops.attention import dispatch_sdpa
 
         qkv = linear(params["qkv_proj"], x)
+        key_bias = bias is None or (
+            bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1
+        )
+        if (
+            key_bias
+            and 8 <= qkv.shape[1] <= 128
+            and jax.default_backend() == "tpu"
+        ):
+            # Short-sequence fused attention on the QKV output layout:
+            # avoids the three per-layer [B,S,H,Dh] layout-copy transposes
+            # and the fp32 logit/prob HBM buffers (device-trace finding,
+            # ~half the attention block's time at S=32).
+            from sonar_tpu.ops.pallas.short_attn import short_qkv_attention
+
+            out = short_qkv_attention(
+                qkv,
+                None if bias is None else bias[:, 0, 0, :],
+                num_heads,
+            )
+            return linear(params["output_proj"], out)
         q, k, v = (
             _split_heads(t, num_heads) for t in jnp.split(qkv, 3, axis=-1)
         )
