@@ -261,6 +261,33 @@ def _residual_block(params_ln, x, fn, norm_order: str):
     return layer_norm(params_ln, x + fn(x))
 
 
+def _block_kernels_eligible(params, x, bias, num_heads, activation,
+                            norm_order) -> bool:
+    """Whole-residual-block Pallas path: pre-LN int8 encoder layers with a
+    fused QKV projection, relu FFN, key-padding-only bias, sentence-length
+    sequences, enough tokens to feed the MXU, on TPU."""
+    if norm_order != "pre" or activation != "relu":
+        return False
+    if not (bias is None or (bias.ndim == 4 and bias.shape[1] == 1
+                             and bias.shape[2] == 1)):
+        return False
+    sa, f = params["self_attn"], params["ffn"]
+    if not ("qkv_proj" in sa and "kernel_q" in sa.get("qkv_proj", {})
+            and "kernel_q" in sa.get("output_proj", {})
+            and "kernel_q" in f.get("inner_proj", {})
+            and "kernel_q" in f.get("output_proj", {})):
+        return False
+    b, s, d = x.shape
+    fdim = f["inner_proj"]["kernel_q"].shape[1]
+    return (
+        8 <= s <= 128
+        and d % 128 == 0
+        and fdim % 256 == 0
+        and b * s >= 2048
+        and jax.default_backend() == "tpu"
+    )
+
+
 def encoder_layer(
     params: Params,
     x: jnp.ndarray,
@@ -269,6 +296,36 @@ def encoder_layer(
     activation: str,
     norm_order: str = "pre",
 ) -> jnp.ndarray:
+    if _block_kernels_eligible(params, x, bias, num_heads, activation,
+                               norm_order):
+        # Two whole-block kernels per layer: LN + quant + matmuls +
+        # attention + residual all in VMEM (ops/pallas/{attn_block,ffn}).
+        from sonar_tpu.ops.pallas.attn_block import fused_attn_block
+        from sonar_tpu.ops.pallas.ffn import fused_int8_ffn_ln
+
+        sa, f = params["self_attn"], params["ffn"]
+        x = fused_attn_block(
+            x,
+            None if bias is None else bias[:, 0, 0, :],
+            params["self_attn_layer_norm"]["weight"],
+            params["self_attn_layer_norm"]["bias"],
+            sa["qkv_proj"]["kernel_q"], sa["qkv_proj"]["scale"],
+            sa["qkv_proj"]["bias"],
+            sa["output_proj"]["kernel_q"], sa["output_proj"]["scale"],
+            sa["output_proj"]["bias"],
+            num_heads,
+        )
+        shape = x.shape
+        y = fused_int8_ffn_ln(
+            x.reshape(-1, shape[-1]),
+            params["ffn_layer_norm"]["weight"],
+            params["ffn_layer_norm"]["bias"],
+            f["inner_proj"]["kernel_q"], f["inner_proj"]["scale"],
+            f["inner_proj"]["bias"],
+            f["output_proj"]["kernel_q"], f["output_proj"]["scale"],
+            f["output_proj"]["bias"],
+        )
+        return x + y.reshape(shape)
     x = _residual_block(
         params["self_attn_layer_norm"],
         x,

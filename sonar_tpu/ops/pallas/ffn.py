@@ -29,14 +29,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _ffn_half_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, o_ref):
-    x = x_ref[...]                                   # [bm, D] bf16
+def _ffn_half_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                     ln_s_ref, ln_b_ref, o_ref, *, apply_ln: bool):
+    x = x_ref[...].astype(jnp.float32)               # [bm, D]
+    if apply_ln:
+        # Pre-LN folded in (fp32 stats, eps 1e-5, nn.core.layer_norm).
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        x = x * ln_s_ref[...] + ln_b_ref[...]
     # Per-row dynamic int8 quantization of x (fp32 math on a small tile).
-    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     x_scale = jnp.maximum(absmax / 127.0, 1e-12)     # [bm, 1]
-    x_q = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / x_scale), -127, 127
-    ).astype(jnp.int8)
+    x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
 
     acc1 = jax.lax.dot_general(
         x_q, w1_ref[...],
@@ -73,6 +78,33 @@ def fused_int8_ffn(
     n_splits: int = 2,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    return _fused_ffn_impl(x, w1_q, w1_scale, b1, w2_q, w2_scale, b2,
+                           None, None, block_m, n_splits, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "n_splits", "interpret"))
+def fused_int8_ffn_ln(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,  # [D]
+    ln_bias: jnp.ndarray,   # [D]
+    w1_q: jnp.ndarray,
+    w1_scale: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2_q: jnp.ndarray,
+    w2_scale: jnp.ndarray,
+    b2: jnp.ndarray,
+    block_m: int = 256,
+    n_splits: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ffn(LN(x)) + b2 — the whole pre-LN FFN residual branch except the
+    residual add (done by the caller: ``x + fused_int8_ffn_ln(x, ...)``)."""
+    return _fused_ffn_impl(x, w1_q, w1_scale, b1, w2_q, w2_scale, b2,
+                           ln_scale, ln_bias, block_m, n_splits, interpret)
+
+
+def _fused_ffn_impl(x, w1_q, w1_scale, b1, w2_q, w2_scale, b2,
+                    ln_scale, ln_bias, block_m, n_splits, interpret):
     m, d = x.shape
     f = w1_q.shape[1]
     assert f % n_splits == 0
@@ -84,9 +116,17 @@ def fused_int8_ffn(
         x = jnp.pad(x, ((0, pad_m), (0, 0)))
     grid = ((m + pad_m) // block_m,)
 
+    apply_ln = ln_scale is not None
+    if apply_ln:
+        ln_s = ln_scale.reshape(1, d).astype(jnp.float32)
+        ln_b = ln_bias.reshape(1, d).astype(jnp.float32)
+    else:
+        ln_s = jnp.ones((1, d), jnp.float32)
+        ln_b = jnp.zeros((1, d), jnp.float32)
+
     const = lambda i: (0, 0)
     kernel = pl.pallas_call(
-        _ffn_half_kernel,
+        functools.partial(_ffn_half_kernel, apply_ln=apply_ln),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -94,6 +134,8 @@ def fused_int8_ffn(
             pl.BlockSpec((1, fh), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, fh), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((fh, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -113,6 +155,8 @@ def fused_int8_ffn(
             b1[None, sl].astype(jnp.float32),
             w2_q[sl, :],
             w2_scale.astype(jnp.float32),
+            ln_s,
+            ln_b,
         )
         out = part if out is None else out + part
     out = out + b2[None, :].astype(out.dtype)
