@@ -56,8 +56,13 @@ class JitTextEncoder:
     """
 
     def __init__(self, model: SonarTextEncoder, params, fuse_qkv: bool = True,
-                 quantize: bool = False, mesh=None):
+                 quantize: bool = False, mesh=None, dispatch_stack: int = 8):
         self.model = model
+        # Same-shape batches are stacked [k, B, S] and run as ONE scanned
+        # dispatch (``encode_batches``): the device round-trip costs ~20-30 ms
+        # on remote/tunneled TPU setups, which at ~40 ms/batch of device time
+        # is a 30-50% throughput tax when paid per batch.
+        self.dispatch_stack = max(1, dispatch_stack)
         if fuse_qkv:
             from sonar_tpu.nn.transformer import fuse_qkv as _fuse
 
@@ -78,6 +83,16 @@ class JitTextEncoder:
         self._fn = jax.jit(
             lambda p, seqs, lens: model.apply(p, seqs, lens).sentence_embeddings
         )
+
+        def _stacked(p, seqs, lens):
+            def body(_, batch):
+                s, l = batch
+                return None, model.apply(p, s, l).sentence_embeddings
+
+            _, out = jax.lax.scan(body, None, (seqs, lens))
+            return out
+
+        self._stack_fn = jax.jit(_stacked)
 
     @property
     def dtype(self):
@@ -106,6 +121,72 @@ class JitTextEncoder:
             lens = jax.device_put(lens, data_sharding(self.mesh, "data"))
         emb = self._fn(self.params, seqs, lens)
         return np.asarray(emb)[: batch.true_batch]
+
+    def encode_batches(
+        self, batches: List[SequenceBatch], materialize: bool = True
+    ) -> List:
+        """Encode many batches, stacking same-shape ones into one scanned
+        dispatch of up to ``dispatch_stack`` batches (amortizes per-dispatch
+        latency). Returns per-batch embeddings in input order; all dispatches
+        are enqueued before any host materialization (full async pipelining).
+
+        ``materialize=False`` skips the device->host copy and returns the
+        raw dispatch results — device arrays or ``(stacked_array, row)``
+        pairs — for callers that keep embeddings on device (chip-throughput
+        benchmarking, device-side mining): results are complete when
+        ``block_until_ready`` returns.
+        """
+        if self.mesh is not None or self.dispatch_stack == 1:
+            return [self.encode_batch(b) for b in batches]
+        k = self.dispatch_stack
+        by_shape: dict = {}
+        for i, b in enumerate(batches):
+            by_shape.setdefault(b.seqs.shape, []).append(i)
+        futures: List = [None] * len(batches)  # device arrays or (stack, row)
+        for idx_list in by_shape.values():
+            n_stacked = len(idx_list) - len(idx_list) % k
+            for j in range(0, n_stacked, k):
+                chunk = idx_list[j : j + k]
+                seqs = jnp.asarray(np.stack([batches[i].seqs for i in chunk]))
+                lens = jnp.asarray(
+                    np.stack([batches[i].seq_lens for i in chunk])
+                )
+                stack = self._stack_fn(self.params, seqs, lens)
+                for row, i in enumerate(chunk):
+                    futures[i] = (stack, row)
+            for i in idx_list[n_stacked:]:
+                futures[i] = self._fn(
+                    self.params,
+                    jnp.asarray(batches[i].seqs),
+                    jnp.asarray(batches[i].seq_lens),
+                )
+        if not materialize:
+            return futures
+        # Start ALL device->host copies before materializing any: D2H is the
+        # other fixed-latency tunnel cost, and async copies overlap both the
+        # remaining compute and each other.
+        started = set()
+        for f in futures:
+            arr = f[0] if isinstance(f, tuple) else f
+            if id(arr) not in started:
+                started.add(id(arr))
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    pass
+        out: List[np.ndarray] = []
+        materialized: dict = {}
+        for i, f in enumerate(futures):
+            if isinstance(f, tuple):
+                stack, row = f
+                key = id(stack)
+                if key not in materialized:
+                    materialized[key] = np.asarray(stack)
+                emb = materialized[key][row]
+            else:
+                emb = np.asarray(f)
+            out.append(emb[: batches[i].true_batch])
+        return out
 
 
 def _resolve_encoder(encoder, dtype=None) -> JitTextEncoder:
@@ -219,12 +300,10 @@ class TextToEmbeddingModelPipeline:
                 tokens_per_batch=batch_max_tokens or 8192,
             )
             tokens = builder.map(tokenizer_encoder).map(truncate).and_return()
-            embs: List[np.ndarray] = []
-            positions: List[np.ndarray] = []
             with precision_context(self.model.dtype):
-                for batch, pos in batcher.batches(iter(tokens), yield_indices=True):
-                    embs.append(self.model.encode_batch(batch))
-                    positions.append(pos)
+                pairs = list(batcher.batches(iter(tokens), yield_indices=True))
+                embs = self.model.encode_batches([b for b, _ in pairs])
+                positions = [pos for _, pos in pairs]
             if n_truncated:
                 warnings.warn(
                     f"For {n_truncated} input tensors for SONAR text encoder, "

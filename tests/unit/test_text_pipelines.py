@@ -148,3 +148,35 @@ def test_text_to_embedding_static_batching_matches_dynamic(toy_bundle):
 
     with pytest.raises(ValueError, match="unknown batching mode"):
         pipe.predict(SENTENCES, source_lang="eng_Latn", batching="nope")
+
+
+def test_encode_batches_stacked_dispatch(toy_bundle):
+    """Same-shape batches are stacked into one scanned dispatch; results must
+    match per-batch encode exactly and stay in input order (incl. the
+    non-stacked remainder and mixed shapes)."""
+    from sonar_tpu.data.collate import SequenceBatch
+    from sonar_tpu.inference_pipelines.text import JitTextEncoder
+
+    _, (encoder, enc_params), _ = toy_bundle
+    rng = np.random.default_rng(0)
+
+    def make(bsz, slen):
+        seqs = rng.integers(4, 30, size=(bsz, slen)).astype(np.int32)
+        lens = rng.integers(max(1, slen // 2), slen + 1, size=(bsz,)).astype(
+            np.int32
+        )
+        true = int(bsz - 1)  # one padding row per batch
+        lens[true:] = 0
+        return SequenceBatch(seqs=seqs, seq_lens=lens, true_batch=true)
+
+    # 5 batches of shape A (stack of 2x2 + remainder 1) and 3 of shape B
+    batches = [make(4, 6) for _ in range(5)] + [make(8, 3) for _ in range(3)]
+    rng.shuffle(batches)
+
+    jit_enc = JitTextEncoder(encoder, enc_params, dispatch_stack=2)
+    stacked = jit_enc.encode_batches(batches)
+    single = [jit_enc.encode_batch(b) for b in batches]
+    assert len(stacked) == len(batches)
+    for got, want, b in zip(stacked, single, batches):
+        assert got.shape == (b.true_batch, want.shape[1])
+        np.testing.assert_allclose(got, want, atol=1e-6)
