@@ -530,7 +530,8 @@ def _beam_self_attend(
     x: jnp.ndarray,
     k_cache: jnp.ndarray,
     v_cache: jnp.ndarray,
-    allowed: jnp.ndarray,
+    anc_b: jnp.ndarray,
+    idx: jnp.ndarray,
     num_heads: int,
     beam_size: int,
 ) -> jnp.ndarray:
@@ -552,17 +553,33 @@ def _beam_self_attend(
     (beam cache layout — batch dims (b, h) leading and the contraction dim
     trailing, so neither einsum below needs a physical transpose of the
     cache, which would cost as much HBM traffic as the reorder it replaces);
-    allowed: [B, Kq, Kc, S] bool — (query beam q, cache row c, position s)
-    is a real ancestor entry (exactly one c per valid s, none for s > idx).
+    anc_b: [B, K, S] int32 — for (query beam q, position s), the within-block
+    cache row holding the winning token (exactly one per valid s);
+    idx: scalar int32 write index — positions > idx are masked.
+
+    Implementation note (v5e, slope-measured via scripts/bench_decode_ablate):
+    the einsum lowering costs ~1000 tiny batched MXU dots per layer at ~4%
+    utilization, but every alternative tried measures the same or worse —
+    VPU multiply-reduce formulations materialize ~45 MB/layer of broadcast
+    intermediates; fused Pallas kernels (``ops.pallas.beam_attend``: gather+
+    insert+diagonal attend in VMEM) lose on Mosaic shuffle overheads at these
+    tiny tile sizes; and a physical reorder folded into the per-step cache
+    rewrite followed by a diagonal einsum attend ties it (16.1 vs 16.0
+    ms/step at N=320). The einsum path stays; the kernels remain in
+    ``ops.pallas.beam_attend`` as measured negative results.
     """
     b, h_, k_, s, dh = k_cache.shape
     n = b * beam_size
+    neg = jnp.finfo(jnp.float32).min
     q = _split_heads(linear(params["q_proj"], x), num_heads)  # [N, H, 1, Dh]
     qb = q.reshape(b, beam_size, num_heads, dh)
+    valid = jnp.arange(s, dtype=jnp.int32)[None, None, None, :] <= idx
+    allowed = (
+        anc_b[:, :, None, :] == jnp.arange(beam_size)[None, None, :, None]
+    ) & valid  # [B, Kq, Kc, S]
     logits = jnp.einsum(
         "bqhd,bhcsd->bhqcs", qb, k_cache, preferred_element_type=jnp.float32
     ) * jnp.asarray(dh**-0.5, jnp.float32)
-    neg = jnp.finfo(jnp.float32).min
     logits = jnp.where(allowed[:, None], logits, neg)
     probs = jax.nn.softmax(
         logits.reshape(b, num_heads, beam_size, beam_size * s), axis=-1
@@ -603,22 +620,19 @@ def decoder_step(
     if ancestry is None:
         neg = jnp.finfo(jnp.float32).min
         self_bias = jnp.where(valid, 0.0, neg)
-        allowed = None
+        anc_b = None
     else:
         assert beam_size is not None
         self_bias = None
         b = ancestry.shape[0] // beam_size
         anc_b = ancestry.reshape(b, beam_size, max_len)
-        allowed = (
-            anc_b[:, :, None, :] == jnp.arange(beam_size)[None, None, :, None]
-        ) & valid[:, 0]  # [B, Kq, Kc, S]
 
     def body(carry, scanned):
         layer_params, sk, sv, ck, cv = scanned
         h = layer_norm(layer_params["self_attn_layer_norm"], carry)
         k_new = _split_heads(linear(layer_params["self_attn"]["k_proj"], h), num_heads)
         v_new = _split_heads(linear(layer_params["self_attn"]["v_proj"], h), num_heads)
-        if allowed is not None:
+        if anc_b is not None:
             # Beam cache layout [B, H, K, S, Dh]: route the new position's
             # K/V (tiny) into each row's own slot. A masked full-buffer
             # rewrite (`where`) instead of dynamic_update_slice: the dus
@@ -638,7 +652,8 @@ def decoder_step(
             sk = jnp.where(at_idx, to_beam(k_new).astype(sk.dtype), sk)
             sv = jnp.where(at_idx, to_beam(v_new).astype(sv.dtype), sv)
             y = carry + _beam_self_attend(
-                layer_params["self_attn"], h, sk, sv, allowed, num_heads, beam_size
+                layer_params["self_attn"], h, sk, sv, anc_b, idx, num_heads,
+                beam_size,
             )
         else:
             # dus is the fast path here (chip-measured 12.7 vs 15.6 ms/step
