@@ -3,6 +3,12 @@
 Runs a modified copy of ``decoder_step`` with branches switched off,
 slope-timed. Shapes as production beam decode: N=320 rows, cache
 [64,16,5,35,64], 24 layers.
+
+NOTE: since the length-1 cross-attention collapse, ``model.init_cache``
+builds caches with empty cross_k/cross_v (cross_out constant instead); the
+``cross_on`` branches here therefore attend over a zero-length memory and
+under-count the historical cross cost (~17 us/layer when measured).
+Production now pays ~0 for cross either way.
 """
 
 import functools
@@ -88,6 +94,72 @@ def _diag_attend_vpu(params, x, k_cache, v_cache, idx, num_heads, beam_size):
     out = jnp.sum(p[..., None] * v_cache.astype(jnp.float32), axis=3)
     out = out.transpose(0, 2, 1, 3).astype(x.dtype)           # [b,q,h,d]
     return linear(params["output_proj"], out.reshape(n, 1, num_heads * dh))
+
+
+def carry_step(stacked_params, x, cache, num_heads, activation, ancestry,
+               beam_size, *, write: str):
+    """decoder_step with the self KV stacks carried through the layer scan
+    (in-place update candidate) instead of scanned as xs/ys.
+
+    write: 'dus' — small dynamic_update_slice of just the new position at
+    (l, ..., idx); 'where' — full-slice masked rewrite then dus of the
+    whole slice back (sanity baseline, same traffic as xs/ys).
+    """
+    idx = cache.index
+    max_len = cache.self_k.shape[-2]
+    b = ancestry.shape[0] // beam_size
+    anc_b = ancestry.reshape(b, beam_size, max_len)
+
+    def body(carry, scanned):
+        x, sk_stack, sv_stack, l = carry
+        layer_params, ck, cv = scanned
+        h = layer_norm(layer_params["self_attn_layer_norm"], x)
+        k_new = _split_heads(linear(layer_params["self_attn"]["k_proj"], h), num_heads)
+        v_new = _split_heads(linear(layer_params["self_attn"]["v_proj"], h), num_heads)
+        n, h2, _, dh = k_new.shape
+        b2 = n // beam_size
+
+        def to_beam(t):
+            return t.reshape(b2, beam_size, h2, 1, dh).transpose(0, 2, 1, 3, 4)
+
+        if write == "dus":
+            sk_stack = jax.lax.dynamic_update_slice(
+                sk_stack, to_beam(k_new).astype(sk_stack.dtype)[None],
+                (l, 0, 0, 0, idx, 0))
+            sv_stack = jax.lax.dynamic_update_slice(
+                sv_stack, to_beam(v_new).astype(sv_stack.dtype)[None],
+                (l, 0, 0, 0, idx, 0))
+            sk = jax.lax.dynamic_slice_in_dim(sk_stack, l, 1, 0)[0]
+            sv = jax.lax.dynamic_slice_in_dim(sv_stack, l, 1, 0)[0]
+        else:
+            sk = jax.lax.dynamic_slice_in_dim(sk_stack, l, 1, 0)[0]
+            sv = jax.lax.dynamic_slice_in_dim(sv_stack, l, 1, 0)[0]
+            at_idx = (
+                jnp.arange(max_len, dtype=jnp.int32)[None, None, None, :, None]
+                == idx
+            )
+            sk = jnp.where(at_idx, to_beam(k_new).astype(sk.dtype), sk)
+            sv = jnp.where(at_idx, to_beam(v_new).astype(sv.dtype), sv)
+            sk_stack = jax.lax.dynamic_update_slice_in_dim(
+                sk_stack, sk[None], l, 0)
+            sv_stack = jax.lax.dynamic_update_slice_in_dim(
+                sv_stack, sv[None], l, 0)
+        y = x + _beam_self_attend(
+            layer_params["self_attn"], h, sk, sv, anc_b, idx, num_heads,
+            beam_size)
+        h = layer_norm(layer_params["encoder_decoder_attn_layer_norm"], y)
+        y = y + mha_attend(
+            layer_params["encoder_decoder_attn"], h, ck, cv, None, num_heads)
+        h = layer_norm(layer_params["ffn_layer_norm"], y)
+        y = y + ffn(layer_params["ffn"], h, activation)
+        return (y, sk_stack, sv_stack, l + 1), None
+
+    (x, new_sk, new_sv, _), _ = jax.lax.scan(
+        body,
+        (x, cache.self_k, cache.self_v, jnp.zeros((), jnp.int32)),
+        (stacked_params, cache.cross_k, cache.cross_v),
+    )
+    return x, DecoderCache(new_sk, new_sv, cache.cross_k, cache.cross_v, idx + 1)
 
 
 def ablated_step(stacked_params, x, cache, num_heads, activation, ancestry,
@@ -263,13 +335,18 @@ def main():
 
     def slope(variant_kwargs):
         def make(iters):
+            step = ablated_step
+            kwargs = dict(variant_kwargs)
+            if kwargs.pop("_step", None) == "carry":
+                step = carry_step
+
             @jax.jit
             def run(p, c):
                 def body(carry, _):
                     cache, x = carry
-                    y, cache = ablated_step(
+                    y, cache = step(
                         p["decoder"]["layers"], x, cache, cfg.num_encoder_attn_heads,
-                        cfg.activation_fn, anc, K, **variant_kwargs)
+                        cfg.activation_fn, anc, K, **kwargs)
                     cache.index = jnp.minimum(cache.index, CACHE - 2)
                     nxt = x + (y.astype(jnp.float32).sum(-1, keepdims=True) * 1e-9
                                ).astype(x.dtype)
@@ -293,8 +370,10 @@ def main():
         return (times[I2] - times[I1]) / (I2 - I1)
 
     variants = [
-        ("XLA gather-write + XLA diag einsum attend",
-         dict(self_mode="reorder_einsum", cross_on=True, ffn_on=True)),
+        ("carried cache stacks, dus new-pos write",
+         dict(_step="carry", write="dus")),
+        ("carried cache stacks, where full rewrite",
+         dict(_step="carry", write="where")),
         ("XLA einsum beam attend full layer",
          dict(self_mode="full", cross_on=True, ffn_on=True)),
     ]

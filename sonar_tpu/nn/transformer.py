@@ -473,6 +473,15 @@ class DecoderCache:
     the layout that lets ``_beam_self_attend`` read the cache through the
     ancestry mask without any physical transpose.
     cross_k / cross_v: [L, B, H, S_mem, Dh] — projected once from memory.
+    cross_out: [L, B, 1, D] or None — for the SONAR case of a length-1,
+    unmasked memory (the embedding bottleneck,
+    ``sonar/models/sonar_translation/model.py:48-53``) the whole
+    cross-attention block collapses to adding this precomputed constant:
+    softmax over a single position is identically 1.0, so the attended
+    value is ``output_proj(v_proj(memory))`` independent of the query (and
+    of the pre-attention LayerNorm). When set, cross_k/cross_v are empty
+    and every decode step skips the per-layer cross LN + q/out projections
+    + attend entirely — exact numerics, ~0.4 ms/step at N=320.
     index: scalar int32, next write position.
 
     Registered as a pytree so it can be a ``lax.while_loop`` carry.
@@ -483,11 +492,15 @@ class DecoderCache:
     cross_k: jnp.ndarray
     cross_v: jnp.ndarray
     index: jnp.ndarray
+    cross_out: Optional[jnp.ndarray] = None
 
 
 jax.tree_util.register_pytree_node(
     DecoderCache,
-    lambda c: ((c.self_k, c.self_v, c.cross_k, c.cross_v, c.index), None),
+    lambda c: (
+        (c.self_k, c.self_v, c.cross_k, c.cross_v, c.index, c.cross_out),
+        None,
+    ),
     lambda _, xs: DecoderCache(*xs),
 )
 
@@ -502,14 +515,33 @@ def init_decoder_cache(
     dtype,
     beam_size: Optional[int] = None,
 ) -> DecoderCache:
-    """Build the cache: preproject cross-attention K/V for every layer."""
+    """Build the cache: preproject cross-attention K/V for every layer.
+
+    For a length-1 memory the per-layer cross-attention constant
+    ``output_proj(v_proj(memory))`` is precomputed instead (see
+    ``DecoderCache.cross_out``).
+    """
     n_layers = num_stacked_layers(stacked_params)
     head_dim = model_dim // num_heads
 
-    def project(layer_params):
-        return mha_project_kv(layer_params["encoder_decoder_attn"], memory, num_heads)
+    if memory.shape[1] == 1:
+        def project_const(layer_params):
+            p = layer_params["encoder_decoder_attn"]
+            return linear(p["output_proj"], linear(p["v_proj"], memory))
 
-    cross_k, cross_v = jax.lax.map(project, stacked_params)
+        cross_out = jax.lax.map(project_const, stacked_params).astype(dtype)
+        cross_k = cross_v = jnp.zeros(
+            (n_layers, batch, num_heads, 0, head_dim), dtype
+        )
+    else:
+        def project(layer_params):
+            return mha_project_kv(
+                layer_params["encoder_decoder_attn"], memory, num_heads
+            )
+
+        cross_k, cross_v = jax.lax.map(project, stacked_params)
+        cross_k, cross_v = cross_k.astype(dtype), cross_v.astype(dtype)
+        cross_out = None
     if beam_size is not None:
         shape = (
             n_layers, batch // beam_size, num_heads, beam_size, max_len, head_dim
@@ -519,9 +551,10 @@ def init_decoder_cache(
     return DecoderCache(
         self_k=jnp.zeros(shape, dtype),
         self_v=jnp.zeros(shape, dtype),
-        cross_k=cross_k.astype(dtype),
-        cross_v=cross_v.astype(dtype),
+        cross_k=cross_k,
+        cross_v=cross_v,
         index=jnp.zeros((), jnp.int32),
+        cross_out=cross_out,
     )
 
 
@@ -626,58 +659,77 @@ def decoder_step(
         self_bias = None
         b = ancestry.shape[0] // beam_size
         anc_b = ancestry.reshape(b, beam_size, max_len)
+    if cache.cross_out is not None and memory_bias is not None:
+        raise ValueError(
+            "cache was built for an unmasked length-1 memory (cross_out "
+            "set); memory_bias is not applicable"
+        )
 
+    # The self KV stacks are scan CARRIES updated with a small
+    # dynamic_update_slice at (layer, ..., idx) — not xs/ys. Scanning them
+    # as xs/ys forces a full read + write copy of the whole cache per layer
+    # (~92 MB/layer at N=320); the carried dus updates in place
+    # (chip-measured 13.8 vs 15.0 ms/step at N=320).
     def body(carry, scanned):
-        layer_params, sk, sv, ck, cv = scanned
-        h = layer_norm(layer_params["self_attn_layer_norm"], carry)
+        x, sk_stack, sv_stack, layer = carry
+        layer_params, ck, cv, co = scanned
+        h = layer_norm(layer_params["self_attn_layer_norm"], x)
         k_new = _split_heads(linear(layer_params["self_attn"]["k_proj"], h), num_heads)
         v_new = _split_heads(linear(layer_params["self_attn"]["v_proj"], h), num_heads)
         if anc_b is not None:
-            # Beam cache layout [B, H, K, S, Dh]: route the new position's
-            # K/V (tiny) into each row's own slot. A masked full-buffer
-            # rewrite (`where`) instead of dynamic_update_slice: the dus
-            # forces XLA into per-layer layout-conversion copies of the
-            # whole cache (4 x 21 MB/layer at B=64), while the where fuses
-            # into a single pass with a uniform layout.
             n, h2, _, dh = k_new.shape
             b2 = n // beam_size
 
             def to_beam(t):
                 return t.reshape(b2, beam_size, h2, 1, dh).transpose(0, 2, 1, 3, 4)
 
-            at_idx = (
-                jnp.arange(max_len, dtype=jnp.int32)[None, None, None, :, None]
-                == idx
+            sk_stack = jax.lax.dynamic_update_slice(
+                sk_stack, to_beam(k_new).astype(sk_stack.dtype)[None],
+                (layer, 0, 0, 0, idx, 0),
             )
-            sk = jnp.where(at_idx, to_beam(k_new).astype(sk.dtype), sk)
-            sv = jnp.where(at_idx, to_beam(v_new).astype(sv.dtype), sv)
-            y = carry + _beam_self_attend(
+            sv_stack = jax.lax.dynamic_update_slice(
+                sv_stack, to_beam(v_new).astype(sv_stack.dtype)[None],
+                (layer, 0, 0, 0, idx, 0),
+            )
+            sk = jax.lax.dynamic_slice_in_dim(sk_stack, layer, 1, 0)[0]
+            sv = jax.lax.dynamic_slice_in_dim(sv_stack, layer, 1, 0)[0]
+            y = x + _beam_self_attend(
                 layer_params["self_attn"], h, sk, sv, anc_b, idx, num_heads,
                 beam_size,
             )
         else:
-            # dus is the fast path here (chip-measured 12.7 vs 15.6 ms/step
-            # for a masked rewrite); the layout-copy pathology only bites
-            # the 6-D beam cache.
-            sk = jax.lax.dynamic_update_slice(
-                sk, k_new.astype(sk.dtype), (0, 0, idx, 0)
+            sk_stack = jax.lax.dynamic_update_slice(
+                sk_stack, k_new.astype(sk_stack.dtype)[None],
+                (layer, 0, 0, idx, 0),
             )
-            sv = jax.lax.dynamic_update_slice(
-                sv, v_new.astype(sv.dtype), (0, 0, idx, 0)
+            sv_stack = jax.lax.dynamic_update_slice(
+                sv_stack, v_new.astype(sv_stack.dtype)[None],
+                (layer, 0, 0, idx, 0),
             )
-            y = carry + mha_attend(
+            sk = jax.lax.dynamic_slice_in_dim(sk_stack, layer, 1, 0)[0]
+            sv = jax.lax.dynamic_slice_in_dim(sv_stack, layer, 1, 0)[0]
+            y = x + mha_attend(
                 layer_params["self_attn"], h, sk, sv, self_bias, num_heads
             )
-        h = layer_norm(layer_params["encoder_decoder_attn_layer_norm"], y)
-        y = y + mha_attend(
-            layer_params["encoder_decoder_attn"], h, ck, cv, memory_bias, num_heads
-        )
+        if co is not None:
+            # Length-1 unmasked memory: the cross block is the precomputed
+            # constant (see DecoderCache.cross_out) — no LN, projections,
+            # or attend.
+            y = y + co
+        else:
+            h = layer_norm(layer_params["encoder_decoder_attn_layer_norm"], y)
+            y = y + mha_attend(
+                layer_params["encoder_decoder_attn"], h, ck, cv, memory_bias,
+                num_heads,
+            )
         h = layer_norm(layer_params["ffn_layer_norm"], y)
         y = y + ffn(layer_params["ffn"], h, activation)
-        return y, (sk, sv)
+        return (y, sk_stack, sv_stack, layer + 1), None
 
-    x, (new_sk, new_sv) = jax.lax.scan(
-        body, x, (stacked_params, cache.self_k, cache.self_v, cache.cross_k, cache.cross_v)
+    (x, new_sk, new_sv, _), _ = jax.lax.scan(
+        body,
+        (x, cache.self_k, cache.self_v, jnp.zeros((), jnp.int32)),
+        (stacked_params, cache.cross_k, cache.cross_v, cache.cross_out),
     )
     new_cache = DecoderCache(
         self_k=new_sk,
@@ -685,5 +737,6 @@ def decoder_step(
         cross_k=cache.cross_k,
         cross_v=cache.cross_v,
         index=idx + 1,
+        cross_out=cache.cross_out,
     )
     return x, new_cache

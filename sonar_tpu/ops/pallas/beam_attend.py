@@ -54,14 +54,19 @@ def _masked_attend_kernel(q_ref, k_ref, v_ref, anc_ref, vbias_ref, o_ref, *,
         q = q_ref[:, kq].astype(jnp.float32) * scale              # [G, Dh]
         logits = jnp.sum(q[:, None, None, :] * kc, axis=-1)       # [G, C, S]
         logits = logits + bias[None]
-        m = jnp.max(logits, axis=(1, 2), keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=(1, 2), keepdims=True)
-        out = jnp.sum(p[..., None] * vc, axis=(1, 2))             # [G, Dh]
+        # softmax over (C, S), reduced one axis at a time (Mosaic has no
+        # multi-axis vector reductions)
+        m = jnp.max(jnp.max(logits, axis=2), axis=1)              # [G]
+        p = jnp.exp(logits - m[:, None, None])
+        z = jnp.sum(jnp.sum(p, axis=2), axis=1)                   # [G]
+        p = p / z[:, None, None]
+        # PV: reduce the untiled C axis first (plain vector adds), then the
+        # sublane S axis — reducing S first forces an invalid relayout
+        out = jnp.sum(jnp.sum(p[..., None] * vc, axis=1), axis=1)  # [G, Dh]
         o_ref[:, kq] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def beam_masked_attend(
     q: jnp.ndarray,        # [BH, K, Dh] (unscaled; BH = B*H, b-major)
     k_cache: jnp.ndarray,  # [BH, C, S, Dh] (view of [B, H, C, S, Dh])

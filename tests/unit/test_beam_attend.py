@@ -4,7 +4,47 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sonar_tpu.ops.pallas.beam_attend import beam_reorder_attend
+from sonar_tpu.ops.pallas.beam_attend import (
+    beam_masked_attend,
+    beam_reorder_attend,
+)
+
+
+def test_beam_masked_attend_matches_einsum():
+    """Kernel vs the einsum ancestry attend (transformer._beam_self_attend
+    core), on shapes where the BH grid block g < num_heads and g == heads."""
+    rng = np.random.default_rng(3)
+    for b, beam, heads, s, dh in ((2, 5, 16, 11, 64), (3, 2, 4, 7, 32)):
+        q = jnp.asarray(rng.normal(size=(b, beam, heads, dh)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, heads, beam, s, dh)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, heads, beam, s, dh)), jnp.float32)
+        anc = jnp.asarray(rng.integers(0, beam, size=(b, beam, s)), jnp.int32)
+        for idx in (0, s // 2, s - 1):
+            neg = jnp.finfo(jnp.float32).min
+            valid = jnp.arange(s)[None, None, None, :] <= idx
+            vbias = jnp.where(jnp.arange(s) <= idx, 0.0, -1e30).astype(
+                jnp.float32)
+            # einsum reference (the production XLA path)
+            allowed = (
+                anc[:, :, None, :] == jnp.arange(beam)[None, None, :, None]
+            ) & valid
+            logits = jnp.einsum("bqhd,bhcsd->bhqcs", q, k) * (dh ** -0.5)
+            logits = jnp.where(allowed[:, None], logits, neg)
+            p = jax.nn.softmax(
+                logits.reshape(b, heads, beam, beam * s), axis=-1
+            ).reshape(b, heads, beam, beam, s)
+            want = jnp.einsum("bhqcs,bhcsd->bqhd", p, v)
+            # kernel, on the merged-BH layout
+            qbh = q.transpose(0, 2, 1, 3).reshape(b * heads, beam, dh)
+            got = beam_masked_attend(
+                qbh,
+                k.reshape(b * heads, beam, s, dh),
+                v.reshape(b * heads, beam, s, dh),
+                anc, vbias, heads, interpret=True,
+            ).reshape(b, heads, beam, dh).transpose(0, 2, 1, 3)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+            )
 
 
 def _xla_reference(qb, k_new, v_new, k_cache, v_cache, sel, idx):
