@@ -81,6 +81,53 @@ def test_decoder_incremental_matches_full():
     np.testing.assert_allclose(np.asarray(full), np.asarray(step), atol=1e-4)
 
 
+def test_decoder_incremental_matches_full_long_memory():
+    """Generic incremental path (memory length > 1, masked): the length-1
+    cross-attention collapse (DecoderCache.cross_out) must NOT engage, and
+    per-step cross attention over a padded memory must match the full
+    decode."""
+    params = _dec_params(jax.random.PRNGKey(6))
+    b, s, s_mem = 2, 5, 3
+    x = jax.random.normal(jax.random.PRNGKey(7), (b, s, DIM))
+    memory = jax.random.normal(jax.random.PRNGKey(8), (b, s_mem, DIM))
+    mem_lens = jnp.asarray([3, 2], jnp.int32)
+    memory_bias = additive_bias(length_mask(mem_lens, s_mem))[:, None, None, :]
+
+    self_bias = additive_bias(causal_mask(s, s)[None, None, :, :])
+    full = decoder_stack(
+        params, x, self_bias, memory, memory_bias, HEADS, "relu"
+    )
+
+    cache = init_decoder_cache(params, memory, HEADS, max_len=s, batch=b,
+                               model_dim=DIM, dtype=jnp.float32)
+    assert cache.cross_out is None and cache.cross_k.shape[-2] == s_mem
+    outs = []
+    for t in range(s):
+        y, cache = decoder_step(
+            params, x[:, t : t + 1], cache, memory_bias, HEADS, "relu"
+        )
+        outs.append(y)
+    step = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(step), atol=1e-4)
+
+
+def test_length1_cross_collapse_sets_cross_out():
+    """init_decoder_cache precomputes the cross constant for length-1 memory
+    and a step with memory_bias then raises."""
+    import pytest
+
+    params = _dec_params(jax.random.PRNGKey(9))
+    memory = jax.random.normal(jax.random.PRNGKey(10), (2, 1, DIM))
+    cache = init_decoder_cache(params, memory, HEADS, max_len=4, batch=2,
+                               model_dim=DIM, dtype=jnp.float32)
+    assert cache.cross_out is not None
+    assert cache.cross_out.shape == (LAYERS, 2, 1, DIM)
+    assert cache.cross_k.shape[-2] == 0
+    bias = jnp.zeros((2, 1, 1, 1), jnp.float32)
+    with pytest.raises(ValueError, match="length-1"):
+        decoder_step(params, memory * 0.0, cache, bias, HEADS, "relu")
+
+
 def test_cross_attention_kv_dim():
     params = _dec_params(jax.random.PRNGKey(3), kv_dim=24)
     x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, DIM))
