@@ -52,6 +52,12 @@ class JitSpeechEncoder:
         # precision maps to bf16 on TPU (fp16 has no native support).
         self.fbank_dtype = _normalize_fbank_dtype(fbank_dtype)
         if quantize:
+            # Experimental for speech: chip A/B (scripts/bench_speech_int8)
+            # measured only noise-level RTFx gain (~205 vs ~200) and a
+            # 0.82 embedding cosine vs bf16 on random weights — the
+            # Conformer's depthwise conv + batchnorm + rel-pos path is far
+            # more int8-sensitive than the text encoder (0.9999). Default
+            # stays bf16; validate cosine on real checkpoints before use.
             from sonar_tpu.ops.quantization import quantize_params_int8
 
             params = quantize_params_int8(params)
