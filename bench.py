@@ -38,9 +38,19 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-N_SENTENCES = 16384
+# Defaults chip-tuned (r2): 32k sentences amortize per-dispatch overhead as
+# sustained serving would, and the 26-bucket set cuts padding waste
+# 8.9% -> 4.8% (single-token granularity around the length mode); together
+# 9.9k -> 10.5k sentences/s vs the r2-early 16k/17-bucket settings.
+N_SENTENCES = int(os.environ.get("SONAR_TPU_BENCH_N", 32768))
 BATCH_MAX_TOKENS = 8192
-LEN_BUCKETS = (10, 12, 14, 16, 18, 20, 22, 24, 26, 28, 32, 36, 40, 48, 64, 96, 128)
+_BUCKET_SETS = {
+    "fine17": (10, 12, 14, 16, 18, 20, 22, 24, 26, 28, 32, 36, 40, 48, 64, 96,
+               128),
+    "fine26": (8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 22, 24, 26,
+               28, 30, 32, 36, 40, 48, 56, 64, 80, 128),
+}
+LEN_BUCKETS = _BUCKET_SETS[os.environ.get("SONAR_TPU_BENCH_BUCKETS", "fine26")]
 WARMUP_BATCHES = 6
 BASELINE_SENTS_PER_SEC = 10_000.0
 VOCAB = 256_000
