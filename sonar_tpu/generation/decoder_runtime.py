@@ -25,11 +25,14 @@ class JitTextDecoder:
                  quantize: bool = False, mesh=None):
         self.model = model
         if quantize:
-            # int8 decoder weights (opt-in; r2 chip measurement: SLOWER than
-            # bf16 for beam decode post-ancestry — dynamic-quant overhead at
-            # a few hundred rows outweighs the weight-byte savings — but
-            # useful for memory-constrained serving; beam outputs verified
-            # vs fp in tests/unit/test_quantized_pipeline.py).
+            # int8 decoder weights (opt-in). Chip A/B after the carry+dus
+            # cache and cross-collapse rework
+            # (scripts/bench_decode_small_batch_int8.py): int8 beats bf16
+            # at every batch — p50 gen-32 152 vs 172 ms at B=1, 201 vs 213
+            # at B=8, 632 vs 672 at B=64 (+6-13%); an earlier measurement
+            # on the pre-rework step had it slower. Beam outputs verified
+            # vs fp in tests/unit/test_quantized_pipeline.py; stays opt-in
+            # until validated on real checkpoints.
             from sonar_tpu.ops.quantization import quantize_params_int8
 
             params = quantize_params_int8(params)
