@@ -96,6 +96,31 @@ def test_mesh_sharded_pipeline_encode():
     np.testing.assert_allclose(sharded, single, atol=2e-4)
 
 
+def test_cosine_topk_blocked_matches_dense():
+    """Bank blocking (incl. a ragged final block) and the approx mode must
+    reproduce the dense single-matmul reference."""
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(9, 32)).astype(np.float32))
+    bank = jnp.asarray(rng.normal(size=(101, 32)).astype(np.float32))
+    from sonar_tpu.parallel.mining import l2_normalize
+
+    sim = jnp.einsum(
+        "nd,md->nm", l2_normalize(q), l2_normalize(bank),
+        preferred_element_type=jnp.float32,
+    )
+    want_s, want_i = jax.lax.top_k(sim, 5)
+    for kwargs in (
+        dict(block_size=16),
+        dict(block_size=16, approx=True),  # CPU approx_max_k is exact
+        dict(block_size=200),  # single block larger than the bank
+    ):
+        got_s, got_i = cosine_topk(q, bank, 5, **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(want_s), atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
 def test_sharded_cosine_topk_matches_dense():
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
