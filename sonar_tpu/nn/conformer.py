@@ -66,21 +66,6 @@ def rel_pos_table(seq_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(table, dtype)
 
 
-def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, S, 2S-1] -> [B, H, S, S] with out[i, j] = x[i, S-1-i+j].
-
-    Transformer-XL shift: pad one zero column at the front of the last dim,
-    reinterpret rows, drop the first, slice. Verified against the
-    brute-force per-pair oracle in tests/unit/test_speech.py.
-    """
-    b, h, s, _ = x.shape
-    y = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))        # [B,H,S,2S]
-    y = y.reshape(b, h, 2 * s, s)
-    y = y[:, :, 1:, :]                                       # [B,H,2S-1,S]
-    y = y.reshape(b, h, s, 2 * s - 1)
-    return y[:, :, :, :s]
-
-
 def init_rel_pos_attention(rng: jax.Array, cfg: ConformerConfig, dtype=jnp.float32) -> Params:
     rngs = jax.random.split(rng, 6)
     d = cfg.model_dim
@@ -127,27 +112,50 @@ def rel_pos_attention(
     k = _split_heads(linear(params["k_proj"], x), h)
     v = _split_heads(linear(params["v_proj"], x), h)
 
-    r = rel_pos_table(s, d, x.dtype)                           # [2S-1, D]
-    r = linear(params["sdpa"]["r_proj"], r)                    # [2S-1, D]
-    r = r.reshape(2 * s - 1, h, hd)                            # [2S-1, H, hd]
-
     u = params["sdpa"]["u_bias"].astype(x.dtype)               # [H, hd]
     vb = params["sdpa"]["v_bias"].astype(x.dtype)
 
     # Score intermediates follow the compute dtype: in bf16 serving mode the
-    # [B,H,S,S] and [B,H,S,2S-1] tensors dominate HBM traffic at speech
-    # lengths, and bf16 halves it (MXU still accumulates fp32 internally;
-    # softmax runs fp32). fp32 models keep fp32 end to end.
+    # [B,H,S,S] tensors dominate HBM traffic at speech lengths, and bf16
+    # halves it (MXU still accumulates fp32 internally; softmax runs fp32).
+    # fp32 models keep fp32 end to end.
     acc_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
-    bd_full = jnp.einsum(
-        "bhid,phd->bhip", q + vb[None, :, None, :], r,
+
+    # Positional term WITHOUT materializing [B, H, S, 2S-1] or rel-shifting:
+    # the table rows are sinusoids, so the trig addition identities factor
+    # r(i-j) into an i-rotation applied to a j-basis:
+    #   z[i]·r(i-j) = sum_k [z_s sin(i w) + z_c cos(i w)] cos(j w)
+    #               + [-z_s cos(i w) + z_c sin(i w)] sin(j w)
+    # (z = the r_proj-projected query row). bd becomes ONE ordinary matmul
+    # against a [S, D] cos|sin basis. The classic Transformer-XL
+    # pad/reshape shift is pure data movement but lowers to strided copies
+    # that measure 2.2 ms/layer on v5e at speech shapes — 52% of the whole
+    # Conformer encoder; this factorization removes it entirely
+    # (chip-measured in scripts/bench_speech_slope.py). Exact in exact
+    # arithmetic; fp32 agreement with the brute-force oracle ~1e-6
+    # (tests/unit/test_speech.py::test_rel_pos_attention_shift_correctness).
+    half = d // 2
+    wr = params["sdpa"]["r_proj"]["kernel"].astype(acc_t)      # [D, D]
+    qv = (q + vb[None, :, None, :]).astype(acc_t)
+    z = jnp.einsum(
+        "bhid,Dhd->bhiD", qv, wr.reshape(d, h, hd),
         preferred_element_type=acc_t,
-    )                                                          # [B,H,S,2S-1]
-    # Distance d = i - j lives at table row (S-1-d) = S-1-i+j. Use the
-    # Transformer-XL pad/reshape shift (pure data movement) instead of a
-    # general gather — the gather lowers catastrophically on TPU for
-    # speech-length sequences (S~500: hundreds of MB per layer).
-    bd = _rel_shift(bd_full)
+    )                                                          # [B,H,S,D]
+    pos = np.arange(s, dtype=np.float64)
+    inv_freq = np.exp(
+        np.arange(half, dtype=np.float64) * (-np.log(10000.0) / (half - 1))
+    )
+    args = pos[:, None] * inv_freq[None, :]                    # [S, half]
+    si = jnp.asarray(np.sin(args), acc_t)
+    ci = jnp.asarray(np.cos(args), acc_t)
+    z_s, z_c = z[..., :half], z[..., half : 2 * half]
+    w_rot = jnp.concatenate(
+        [z_s * si + z_c * ci, z_c * si - z_s * ci], axis=-1
+    )                                                          # [B,H,S,2*half]
+    basis = jnp.concatenate([ci, si], axis=-1)                 # [S, 2*half]
+    bd = jnp.einsum(
+        "bhiD,jD->bhij", w_rot, basis, preferred_element_type=acc_t
+    )
 
     if _use_relpos_kernel(x, bias, s, hd):
         # Fused kernel: ac matmul + bd add + bias + fp32 softmax + PV, with
