@@ -97,7 +97,43 @@ def bench_speech_rtfx(batch=8, seconds=10, iters=5):
         enc.encode_waveforms(c)
     dt = time.perf_counter() - t0
     audio_seconds = batch * seconds * iters
-    return {"rtfx": round(audio_seconds / dt, 1)}
+
+    # Device truth (slope over a jitted scan; wall time above includes the
+    # host->device waveform transfer, which dominates on a tunneled chip).
+    from sonar_tpu.ops.fbank import FbankConfig, batched_fbank, num_frames
+
+    fb_cfg = FbankConfig()
+    waves = jnp.asarray(np.stack(clips[0]))
+    max_frames = num_frames(seconds * 16000, fb_cfg)
+    lens_in = jnp.full((batch,), seconds * 16000, jnp.int32)
+
+    def make(iters_):
+        @jax.jit
+        def run(p, w):
+            def body(carry, _):
+                fb, _l = batched_fbank(carry, lens_in, max_frames, fb_cfg)
+                emb = model.apply(p, fb).sentence_embeddings
+                mix = (emb.astype(jnp.float32).sum() * 1e-9).astype(carry.dtype)
+                return carry + mix, None
+            w, _ = jax.lax.scan(body, w, None, length=iters_)
+            return w[:2, :8]
+        return run
+
+    times = {}
+    for it in (2, 6):
+        run = make(it)
+        np.asarray(run(params, waves))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(params, waves))
+            ts.append(time.perf_counter() - t0)
+        times[it] = sorted(ts)[len(ts) // 2]
+    slope = (times[6] - times[2]) / 4
+    return {
+        "rtfx_wall": round(audio_seconds / dt, 1),
+        "rtfx_device": round(batch * seconds / slope, 1),
+    }
 
 
 def main():
