@@ -142,16 +142,31 @@ def main():
         t = slope(make_ablated(**kw))
         print(f"{name}: {t*1e3:6.1f} ms/batch", flush=True)
 
-    # fused Pallas rel-pos attention kernel vs the XLA lowering, slope-timed
-    # (the kernel was previously judged by WALL RTFx, which the tunnel
-    # dominates)
+    # fused Pallas rel-pos attention kernel (the TPU default) vs the XLA
+    # lowering, slope-timed + a numerics check
     from sonar_tpu.ops.attention import set_attention_impl
 
-    set_attention_impl("pallas")
+    set_attention_impl("xla")
     t = slope(full)
     set_attention_impl("auto")
-    print(f"full encode, pallas rel-pos kernel: {t*1e3:6.1f} ms/batch  "
+    print(f"full encode, xla rel-pos lowering: {t*1e3:6.1f} ms/batch  "
           f"device RTFx {B*SECONDS/t:6.0f}", flush=True)
+
+    max_frames = num_frames(SECONDS * SR, fb_cfg)
+    lens_in = jnp.full((B,), SECONDS * SR, jnp.int32)
+
+    def embed(p, w):
+        fb, _l = batched_fbank(w, lens_in, max_frames, fb_cfg)
+        return model.apply(p, fb).sentence_embeddings
+
+    e_auto = np.asarray(jax.jit(embed)(params, waves), np.float32)
+    set_attention_impl("xla")
+    e_xla = np.asarray(jax.jit(embed)(params, waves), np.float32)
+    set_attention_impl("auto")
+    cos = np.sum(e_auto * e_xla, -1) / (
+        np.linalg.norm(e_auto, axis=-1) * np.linalg.norm(e_xla, axis=-1)
+    )
+    print(f"kernel-vs-xla embedding cosine: min {cos.min():.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -84,18 +84,24 @@ def init_rel_pos_attention(rng: jax.Array, cfg: ConformerConfig, dtype=jnp.float
 
 
 def _use_relpos_kernel(x, bias, s: int, hd: int) -> bool:
-    """Route to the fused Pallas kernel only on explicit
-    ``set_attention_impl('pallas')``: chip measurements show XLA's own
-    fusion of the ac+softmax+PV chain matches/beats the kernel at speech
-    lengths (RTFx 198 XLA vs 190 kernel, numerics cosine 0.99997), so the
-    kernel is kept as a validated alternative, not the default."""
+    """Default to the fully fused Pallas kernel on TPU.
+
+    The v2 kernel builds the trig-factored positional term per q-block in
+    VMEM and fuses it with ac/softmax/PV — slope-measured 51.6 vs 71.9
+    ms per 8x10s speech batch against the XLA lowering (device RTFx 1549
+    vs 1099); numerics match XLA at cosine ~1 (interpret-mode exact test
+    plus on-chip bf16 check in scripts/bench_speech_slope.py).
+    ``set_attention_impl('xla')`` opts out; CPU always uses XLA (the
+    kernel is covered there by interpret-mode tests)."""
     from sonar_tpu.ops.attention import _ATTENTION_IMPL
 
-    if _ATTENTION_IMPL != "pallas":
-        return False
     if bias is not None and not (bias.ndim == 4 and bias.shape[-2] == 1):
         return False
-    return s >= 128 and hd in (64, 128)
+    if not (s >= 128 and hd in (64, 128)):
+        return False
+    if _ATTENTION_IMPL == "pallas":
+        return True
+    return _ATTENTION_IMPL == "auto" and jax.default_backend() == "tpu"
 
 
 def rel_pos_attention(
@@ -135,12 +141,6 @@ def rel_pos_attention(
     # arithmetic; fp32 agreement with the brute-force oracle ~1e-6
     # (tests/unit/test_speech.py::test_rel_pos_attention_shift_correctness).
     half = d // 2
-    wr = params["sdpa"]["r_proj"]["kernel"].astype(acc_t)      # [D, D]
-    qv = (q + vb[None, :, None, :]).astype(acc_t)
-    z = jnp.einsum(
-        "bhid,Dhd->bhiD", qv, wr.reshape(d, h, hd),
-        preferred_element_type=acc_t,
-    )                                                          # [B,H,S,D]
     pos = np.arange(s, dtype=np.float64)
     inv_freq = np.exp(
         np.arange(half, dtype=np.float64) * (-np.log(10000.0) / (half - 1))
@@ -148,25 +148,41 @@ def rel_pos_attention(
     args = pos[:, None] * inv_freq[None, :]                    # [S, half]
     si = jnp.asarray(np.sin(args), acc_t)
     ci = jnp.asarray(np.cos(args), acc_t)
+    basis = jnp.concatenate([ci, si], axis=-1)                 # [S, 2*half]
+
+    if _use_relpos_kernel(x, bias, s, hd):
+        # Fully fused kernel: the trig-factored bd is built per q-block in
+        # VMEM (z = (q+v) Wr_h^T, i-rotation, j-basis matmul) and fused
+        # with ac + bias + fp32 softmax + PV — neither bd [B,H,S,S] nor
+        # the rotated z/w [B,H,S,D] tensors touch HBM.
+        from sonar_tpu.ops.pallas.relpos_flash import (
+            relpos_flash_attention_v2,
+        )
+
+        wrh = (
+            params["sdpa"]["r_proj"]["kernel"]
+            .reshape(d, h, hd).transpose(1, 0, 2).astype(x.dtype)
+        )                                                      # [H, D, hd]
+        key_bias = None if bias is None else bias[:, 0, 0, :].astype(jnp.float32)
+        out = relpos_flash_attention_v2(
+            q, k, v, wrh, si.astype(x.dtype), ci.astype(x.dtype),
+            basis.astype(x.dtype), u, vb, key_bias,
+        )
+        return linear(params["output_proj"], _merge_heads(out))
+
+    wr = params["sdpa"]["r_proj"]["kernel"].astype(acc_t)      # [D, D]
+    qv = (q + vb[None, :, None, :]).astype(acc_t)
+    z = jnp.einsum(
+        "bhid,Dhd->bhiD", qv, wr.reshape(d, h, hd),
+        preferred_element_type=acc_t,
+    )                                                          # [B,H,S,D]
     z_s, z_c = z[..., :half], z[..., half : 2 * half]
     w_rot = jnp.concatenate(
         [z_s * si + z_c * ci, z_c * si - z_s * ci], axis=-1
     )                                                          # [B,H,S,2*half]
-    basis = jnp.concatenate([ci, si], axis=-1)                 # [S, 2*half]
     bd = jnp.einsum(
         "bhiD,jD->bhij", w_rot, basis, preferred_element_type=acc_t
     )
-
-    if _use_relpos_kernel(x, bias, s, hd):
-        # Fused kernel: ac matmul + bd add + bias + fp32 softmax + PV, with
-        # no HBM materialization of ac or the probabilities (the per-row
-        # rel-shift itself cannot be expressed in Mosaic — dynamic lane-dim
-        # loads must be 128-aligned — so bd stays on the XLA path above).
-        from sonar_tpu.ops.pallas.relpos_flash import relpos_flash_attention
-
-        key_bias = None if bias is None else bias[:, 0, 0, :].astype(jnp.float32)
-        out = relpos_flash_attention(q, k, v, bd, u, key_bias)
-        return linear(params["output_proj"], _merge_heads(out))
 
     ac = jnp.einsum(
         "bhid,bhjd->bhij", q + u[None, :, None, :], k,
