@@ -46,20 +46,25 @@ def test_relpos_flash_matches_reference(s, q_block):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
-def test_conformer_kernel_path_matches_xla_in_interpret():
+@pytest.mark.parametrize("s", [128, 130, 257])
+def test_conformer_kernel_path_matches_xla_in_interpret(s):
     """Force the kernel path on CPU via interpret monkey-patching and compare
-    whole-block outputs with the XLA path."""
+    whole-block outputs with the XLA path, incl. ragged lengths (the kernel
+    pads S to the q-block and masks via key_bias) and a padded batch."""
     from jax.experimental import pallas as pl
 
     import sonar_tpu.nn.conformer as C
     from sonar_tpu.ops import attention as A
+    from sonar_tpu.ops.masks import additive_bias, length_mask
 
     cfg = C.ConformerConfig(model_dim=128, num_layers=1, num_heads=2,
                             ffn_inner_dim=64, depthwise_kernel_size=5)
     params = C.init_rel_pos_attention(jax.random.PRNGKey(0), cfg)
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, 128, 128))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, s, 128))
+    lens = jnp.asarray([s, max(1, s - 37)], jnp.int32)
+    bias = additive_bias(length_mask(lens, s))[:, None, None, :]
 
-    want = C.rel_pos_attention(params, x, None, cfg)  # XLA (cpu backend)
+    want = C.rel_pos_attention(params, x, bias, cfg)  # XLA (cpu backend)
 
     orig_call = pl.pallas_call
 
@@ -70,7 +75,7 @@ def test_conformer_kernel_path_matches_xla_in_interpret():
     pl.pallas_call = patched
     A.set_attention_impl("pallas")
     try:
-        got = C.rel_pos_attention(params, x, None, cfg)
+        got = C.rel_pos_attention(params, x, bias, cfg)
     finally:
         pl.pallas_call = orig_call
         A.set_attention_impl("auto")
