@@ -56,8 +56,11 @@ _FLASH_MIN_SEQ = 256      # below this the [S, S] logits are cheap; XLA wins
 
 
 def set_attention_impl(impl: str) -> None:
-    """Global attention backend: 'auto' (Pallas for long-seq encoder
-    self-attention on TPU, XLA otherwise), 'xla', or 'pallas'."""
+    """Global attention backend: 'auto' (on TPU: the fused rel-pos
+    Conformer kernel — a measured 1.4x on speech — plus Pallas for
+    long-seq encoder self-attention; XLA otherwise), 'xla' (force the XLA
+    lowerings everywhere), or 'pallas' (force kernels even where XLA
+    ties)."""
     global _ATTENTION_IMPL
     if impl not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown attention impl: {impl}")
