@@ -40,6 +40,30 @@ def test_native_matches_python(native_lib, tmp_path):
         assert nat == py, f"mismatch on {t!r}: {nat} != {py}"
 
 
+def test_native_matches_python_fuzz(native_lib, tmp_path):
+    """300 random mixed-script strings (byte-fallback model): the C++ core
+    must stay bit-identical to the Python Viterbi on arbitrary input."""
+    import random
+
+    m = build_toy_spm(tmp_path, byte_fallback=True)
+    native = m._native_encoder()
+    pools = [
+        "abcdefghijklmnopqrstuvwxyz ",
+        "héllo wörld ñuñez çà ",
+        "日本語テキスト中文текст",
+        "🙂🚀❤️",
+        "0123456789-_.,!?",
+    ]
+    rng = random.Random(1)
+    for _ in range(300):
+        n = rng.randint(0, 32)
+        t = "".join(rng.choice(rng.choice(pools)) for _ in range(n))
+        s = m.normalize(t)
+        py = m._viterbi(s) if s else []
+        nat = native.encode_normalized(s) if s else []
+        assert nat == py, f"mismatch on {t!r}: {nat} != {py}"
+
+
 def test_native_byte_fallback(native_lib, tmp_path):
     m = build_toy_spm(tmp_path, byte_fallback=True)
     for t in ("héllo", "日本語 hello"):

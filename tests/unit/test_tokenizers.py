@@ -77,6 +77,30 @@ def test_byte_fallback(tmp_path):
     assert m.decode(ids) == "héllo"
 
 
+def test_roundtrip_fuzz_byte_fallback(tmp_path):
+    """Property: with byte fallback, decode(encode(s)) recovers s for any
+    whitespace-normalized unicode string (byte pieces cover everything the
+    vocab lacks). 300 random mixed-script strings, seeded."""
+    import random
+
+    m = build_toy_spm(tmp_path, byte_fallback=True)
+    pools = [
+        "abcdefghijklmnopqrstuvwxyz",
+        "héllo wörld ñuñez çà",
+        "日本語テキスト中文текст",
+        "🙂🚀❤️",
+        "0123456789-_.,!?",
+    ]
+    rng = random.Random(0)
+    for _ in range(300):
+        n = rng.randint(1, 24)
+        s = "".join(rng.choice(rng.choice(pools)) for _ in range(n))
+        # the model normalizes whitespace runs/edges; compare normalized
+        want = " ".join(s.split())
+        got = m.decode(m.encode(s))
+        assert got == want, (s, got, want)
+
+
 def test_unk_without_byte_fallback(tmp_path):
     m = build_toy_spm(tmp_path)
     ids = m.encode("hé")
