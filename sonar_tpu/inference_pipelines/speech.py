@@ -75,7 +75,25 @@ class JitSpeechEncoder:
             )
             if self.fbank_dtype is not None:
                 feats = feats.astype(self.fbank_dtype)
-            out = model.apply(params, feats, frame_lens)
+            if self.mesh is not None:
+                # A pallas_call is an opaque custom call to GSPMD: under a
+                # sharded jit it cannot be batch-partitioned and would
+                # force replication. Route the mesh path through the XLA
+                # rel-pos lowering (single-device serving keeps the fused
+                # kernel default).
+                from sonar_tpu.ops.attention import (
+                    _ATTENTION_IMPL,
+                    set_attention_impl,
+                )
+
+                prev = _ATTENTION_IMPL
+                set_attention_impl("xla")
+                try:
+                    out = model.apply(params, feats, frame_lens)
+                finally:
+                    set_attention_impl(prev)
+            else:
+                out = model.apply(params, feats, frame_lens)
             return out.sentence_embeddings
 
         self._fn = jax.jit(fn, static_argnames=("max_frames",))
