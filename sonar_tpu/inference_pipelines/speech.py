@@ -79,19 +79,12 @@ class JitSpeechEncoder:
                 # A pallas_call is an opaque custom call to GSPMD: under a
                 # sharded jit it cannot be batch-partitioned and would
                 # force replication. Route the mesh path through the XLA
-                # rel-pos lowering (single-device serving keeps the fused
-                # kernel default).
-                from sonar_tpu.ops.attention import (
-                    _ATTENTION_IMPL,
-                    set_attention_impl,
-                )
+                # lowerings (single-device serving keeps the fused kernel
+                # defaults).
+                from sonar_tpu.ops.attention import no_tpu_kernels
 
-                prev = _ATTENTION_IMPL
-                set_attention_impl("xla")
-                try:
+                with no_tpu_kernels():
                     out = model.apply(params, feats, frame_lens)
-                finally:
-                    set_attention_impl(prev)
             else:
                 out = model.apply(params, feats, frame_lens)
             return out.sentence_embeddings

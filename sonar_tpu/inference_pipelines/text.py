@@ -83,14 +83,24 @@ class JitTextEncoder:
 
             params = shard_params(params, mesh)
         self.params = params
-        self._fn = jax.jit(
-            lambda p, seqs, lens: model.apply(p, seqs, lens).sentence_embeddings
-        )
+
+        def _apply(p, seqs, lens):
+            if self.mesh is not None:
+                # Pallas custom calls cannot be partitioned by GSPMD; the
+                # mesh path traces with every kernel gate off (XLA
+                # lowerings shard fine).
+                from sonar_tpu.ops.attention import no_tpu_kernels
+
+                with no_tpu_kernels():
+                    return model.apply(p, seqs, lens).sentence_embeddings
+            return model.apply(p, seqs, lens).sentence_embeddings
+
+        self._fn = jax.jit(_apply)
 
         def _stacked(p, seqs, lens):
             def body(_, batch):
                 s, l = batch
-                return None, model.apply(p, s, l).sentence_embeddings
+                return None, _apply(p, s, l)
 
             _, out = jax.lax.scan(body, None, (seqs, lens))
             return out

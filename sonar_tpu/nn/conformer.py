@@ -93,8 +93,10 @@ def _use_relpos_kernel(x, bias, s: int, hd: int) -> bool:
     plus on-chip bf16 check in scripts/bench_speech_slope.py).
     ``set_attention_impl('xla')`` opts out; CPU always uses XLA (the
     kernel is covered there by interpret-mode tests)."""
-    from sonar_tpu.ops.attention import _ATTENTION_IMPL
+    from sonar_tpu.ops.attention import _ATTENTION_IMPL, tpu_kernels_disabled
 
+    if tpu_kernels_disabled():
+        return False
     if bias is not None and not (bias.ndim == 4 and bias.shape[-2] == 1):
         return False
     if not (s >= 128 and hd in (64, 128)):

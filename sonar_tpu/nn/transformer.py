@@ -121,6 +121,7 @@ def mha(
             key_bias
             and 8 <= qkv.shape[1] <= 128
             and jax.default_backend() == "tpu"
+            and not _kernels_off()
         ):
             # Short-sequence fused attention on the QKV output layout:
             # avoids the three per-layer [B,S,H,Dh] layout-copy transposes
@@ -191,6 +192,12 @@ def init_ffn(rng: jax.Array, model_dim: int, inner_dim: int, dtype=jnp.float32) 
     }
 
 
+def _kernels_off() -> bool:
+    from sonar_tpu.ops.attention import tpu_kernels_disabled
+
+    return tpu_kernels_disabled()
+
+
 _FFN_IMPL = "auto"  # auto | xla — fused Pallas kernel for int8 relu FFNs
 
 
@@ -217,6 +224,7 @@ def ffn(params: Params, x: jnp.ndarray, activation: str) -> jnp.ndarray:
         and inner["kernel_q"].shape[0] % 128 == 0
         and n_tokens >= 2048  # decode steps (few rows) lose to XLA here
         and jax.default_backend() == "tpu"
+        and not _kernels_off()
     ):
         # Fused int8 FFN: the [tokens, F] inner activation stays in VMEM
         # (sonar_tpu.ops.pallas.ffn) — the encode path's dominant HBM cost.
@@ -285,6 +293,7 @@ def _block_kernels_eligible(params, x, bias, num_heads, activation,
         and fdim % 256 == 0
         and b * s >= 2048
         and jax.default_backend() == "tpu"
+        and not _kernels_off()
     )
 
 

@@ -53,6 +53,34 @@ def sdpa_xla(
 
 _ATTENTION_IMPL = "auto"  # auto | xla | pallas
 _FLASH_MIN_SEQ = 256      # below this the [S, S] logits are cheap; XLA wins
+_TPU_KERNELS_DISABLED = False
+
+
+def tpu_kernels_disabled() -> bool:
+    """True while a ``no_tpu_kernels()`` scope is active (checked by every
+    Pallas dispatch gate)."""
+    return _TPU_KERNELS_DISABLED
+
+
+class no_tpu_kernels:
+    """Context manager: force the XLA lowerings for every op.
+
+    A ``pallas_call`` is an opaque custom call to GSPMD, so under a
+    mesh-sharded jit it cannot be partitioned — the mesh-aware wrappers
+    (``JitTextEncoder(mesh=...)``, ``JitSpeechEncoder(mesh=...)``) trace
+    their programs inside this scope. Trace-time only: the flag is read
+    while building the jaxpr.
+    """
+
+    def __enter__(self):
+        global _TPU_KERNELS_DISABLED
+        self._prev = _TPU_KERNELS_DISABLED
+        _TPU_KERNELS_DISABLED = True
+
+    def __exit__(self, *exc):
+        global _TPU_KERNELS_DISABLED
+        _TPU_KERNELS_DISABLED = self._prev
+        return False
 
 
 def set_attention_impl(impl: str) -> None:
@@ -89,7 +117,8 @@ def dispatch_sdpa(
         and head_independent
         and q.shape[-1] in (64, 128)
     )
-    if impl != "xla" and eligible and jax.default_backend() == "tpu":
+    if (impl != "xla" and eligible and not _TPU_KERNELS_DISABLED
+            and jax.default_backend() == "tpu"):
         from sonar_tpu.ops.pallas.flash import pallas_flash_attention
 
         return pallas_flash_attention(q, k, v, bias=bias)
