@@ -31,7 +31,15 @@ from sonar_tpu.models.sonar_speech.model import SonarSpeechEncoder
 from sonar_tpu.ops.fbank import FbankConfig, batched_fbank, num_frames
 
 # Wave-length buckets (seconds at 16 kHz): bounds XLA compilations.
-WAVE_BUCKETS = tuple(int(s * 16000) for s in (1, 2, 4, 8, 15, 30, 60))
+# Per-shape jit compiles bound the bucket count, but padding is wasted
+# Conformer compute (quadratic in S for attention): the coarse doubling set
+# (1,2,4,8,15,30,60)s padded a 9 s clip to 15 s (+67%). Finer steps keep
+# typical waste under ~20%; only buckets actually hit get compiled.
+WAVE_BUCKETS = tuple(
+    int(s * 16000)
+    for s in (1, 1.5, 2, 2.5, 3, 4, 5, 6, 8, 10, 12, 15, 20, 25, 30, 40, 50,
+              60)
+)
 
 
 def _bucket_len(n: int) -> int:
@@ -206,8 +214,20 @@ class SpeechToEmbeddingModelPipeline(SpeechModelPipelineInterface):
         n_prefetched_batches: int = 2,
         progress_bar: bool = False,
     ) -> np.ndarray:
+        items = list(input)
+        # In-memory waveforms: batch length-sorted so clips of similar
+        # duration share a batch (each batch pads to its longest clip's
+        # bucket), then restore input order — the same trick the reference
+        # applies to text (sonar/inference_pipelines/text.py:226-229).
+        # Paths stay in arrival order (durations unknown before decode).
+        sorting_index = None
+        if items and all(isinstance(w, np.ndarray) or hasattr(w, "shape")
+                         for w in items):
+            sorting_index = np.argsort([int(np.shape(w)[-1]) for w in items],
+                                       kind="stable")
+            items = [items[i] for i in sorting_index]
         pipeline = (
-            read_sequence(list(input))
+            read_sequence(items)
             .map(self._decode_audio, num_parallel_calls=n_parallel)
             .bucket(batch_size)
             .prefetch(n_prefetched_batches)
@@ -216,11 +236,14 @@ class SpeechToEmbeddingModelPipeline(SpeechModelPipelineInterface):
         )
         iterable = pipeline
         if progress_bar:
-            iterable = add_progress_bar(pipeline, inputs=input, batch_size=batch_size)
+            iterable = add_progress_bar(pipeline, inputs=items, batch_size=batch_size)
         results = list(iter(iterable))
         if not results:
             return np.zeros((0, self.model.model_dim), np.float32)
-        return np.concatenate(results, axis=0)
+        out = np.concatenate(results, axis=0)
+        if sorting_index is not None:
+            out = out[np.argsort(sorting_index, kind="stable")]
+        return out
 
 
 class SpeechToTextModelPipeline(SpeechModelPipelineInterface):

@@ -134,6 +134,31 @@ def test_speech_encoder_forward_and_pipeline(tmp_path):
     np.testing.assert_allclose(solo[0], emb[0], atol=2e-4)
 
 
+def test_speech_pipeline_length_sort_restores_order():
+    """Array inputs are batched length-sorted (similar durations share a
+    batch) and results come back in input order."""
+    from sonar_tpu.inference_pipelines.speech import (
+        JitSpeechEncoder,
+        SpeechToEmbeddingModelPipeline,
+    )
+
+    cfg = sonar_speech_encoder_archs.get("toy")
+    model = SonarSpeechEncoder(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    enc = JitSpeechEncoder(model, params,
+                           fbank_config=FbankConfig(num_mel_bins=8))
+    pipe = SpeechToEmbeddingModelPipeline(encoder=enc)
+    rng = np.random.default_rng(5)
+    waves = [(rng.normal(size=n) * 0.1).astype(np.float32)
+             for n in (14000, 6000, 11000, 7000, 16000)]
+    batched = pipe.predict(waves, batch_size=2)
+    solo = np.concatenate(
+        [pipe.predict([w], batch_size=1) for w in waves], axis=0
+    )
+    assert batched.shape == solo.shape == (5, 32)
+    np.testing.assert_allclose(batched, solo, atol=2e-4)
+
+
 def test_speech_to_text_pipeline(tmp_path):
     import dataclasses
 
