@@ -7,8 +7,6 @@ MLP head trains with optax under a (data, model) mesh. Runs end-to-end on
 toy data offline (swap in real cards + a labeled dataset for the real task).
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,7 +15,11 @@ import optax
 from sonar_tpu.models.mutox.model import MutoxClassifier, MutoxConfig
 from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
 from sonar_tpu.parallel.mesh import make_mesh, replicate
-from sonar_tpu.training.train_step import init_train_state, make_train_step
+from sonar_tpu.training.train_step import (
+    classifier_loss,
+    init_train_state,
+    make_train_step,
+)
 
 
 def main():
@@ -32,16 +34,18 @@ def main():
     optimizer = optax.adamw(1e-3)
 
     def loss_fn(params, batch, rng):
-        emb = encoder.apply(enc_params, batch["tokens"], batch["lens"]).sentence_embeddings
-        logits = head.apply(params, emb)[:, 0]
-        labels = batch["labels"].astype(jnp.float32)
-        return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+        # Only the head lives in the optimizer state: the encoder is frozen,
+        # and keeping it out of `params` also keeps AdamW weight decay off it.
+        return classifier_loss(
+            encoder, head, {"encoder": enc_params, "head": params["head"]},
+            batch, rng,
+        )
 
     step = make_train_step(loss_fn, optimizer)
 
     mesh = make_mesh(data=len(jax.devices()), model=1)
     with mesh:
-        state = init_train_state(replicate(params, mesh), optimizer)
+        state = init_train_state(replicate({"head": params}, mesh), optimizer)
         rng = np.random.default_rng(0)
         jit_step = jax.jit(step, donate_argnums=(0,))
         for i in range(20):

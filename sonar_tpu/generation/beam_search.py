@@ -54,7 +54,23 @@ class BeamSearchConfig:
 
     @classmethod
     def from_kwargs(cls, model_max_len: int, **kwargs) -> "BeamSearchConfig":
-        """Map reference generator kwargs (incl. ``max_seq_len``) to a config."""
+        """Map reference generator kwargs (incl. ``max_seq_len``) to a config.
+
+        Unknown kwargs raise: the reference forwards ``**generator_kwargs``
+        straight to ``BeamSearchSeq2SeqGenerator.__init__``
+        (``sonar/inference_pipelines/text.py:109``), where a typo or an
+        unsupported fairseq2 option fails loudly — silently dropping them
+        here would change generation behavior without warning.
+        """
+        known = ("beam_size", "max_seq_len", "max_gen_len", "min_gen_len",
+                 "len_penalty", "normalize_scores", "unk_penalty",
+                 "approx_topk")
+        unknown = sorted(set(kwargs) - set(known))
+        if unknown:
+            raise TypeError(
+                f"unsupported generator kwargs: {unknown}; supported: "
+                f"{list(known)}"
+            )
         cfg = cls()
         if "beam_size" in kwargs:
             cfg = dataclasses.replace(cfg, beam_size=int(kwargs["beam_size"]))
@@ -95,6 +111,7 @@ def beam_search_oracle(
     beams: List[Tuple[List[int], float]] = [(list(prefix), 0.0)]
     finished: List[Tuple[List[int], float]] = []
 
+    exhausted = True
     for step in range(config.max_gen_len):
         lp = np.asarray(logprob_fn([b[0] for b in beams]), np.float64)
         if step + 1 < config.min_gen_len:
@@ -123,13 +140,20 @@ def beam_search_oracle(
             and max(config.normalized(sc, config.max_gen_len) for _, sc in beams)
             <= min(f[1] for f in sorted(finished, key=lambda x: -x[1])[:K])
         ):
+            exhausted = False
             break
 
-    if not finished:
-        # Force-finish the best live beam (hit max_gen_len).
-        toks, sc = max(beams, key=lambda b: b[1])
-        finished.append((toks[len(prefix):] + [eos_idx],
-                         config.normalized(sc, config.max_gen_len + 1)))
+    if exhausted and beams:
+        # Max length reached: fairseq's final step forces EOS, so every live
+        # beam finalizes WITH the model's EOS logprob charged and competes
+        # with earlier-finished hypotheses on normalized score.
+        lp = np.asarray(logprob_fn([b[0] for b in beams]), np.float64)
+        for bi, (toks, sc) in enumerate(beams):
+            finished.append(
+                (toks[len(prefix):] + [eos_idx],
+                 config.normalized(sc + lp[bi, eos_idx],
+                                   config.max_gen_len + 1))
+            )
     finished.sort(key=lambda x: -x[1])
     return finished[0]
 
@@ -359,25 +383,37 @@ def beam_search_lax(
             logits,
         )
 
-    state, _ = jax.lax.while_loop(cond, body, (state, last_logits))
+    state, final_logits = jax.lax.while_loop(cond, body, (state, last_logits))
 
-    # Force-finish best live beams where nothing finished (hit max len).
-    no_fin = state.fin_scores <= NEG_INF / 2                      # [B, K]
-    live_norm = _length_norm(state.scores, state.step + 1, config)
+    # Max length reached: fairseq's final step forces EOS, so live beams
+    # finalize WITH the model's EOS logprob charged (final_logits are each
+    # live row's next-token distribution) and compete with the finished
+    # set on normalized score via a top-K merge. An early bound-exit means
+    # no live beam can improve on the finished set, so live candidates are
+    # masked out there.
+    exhausted = state.step >= config.max_gen_len                  # scalar
+    eos_lp = (
+        final_logits[:, eos_idx]
+        - jax.scipy.special.logsumexp(final_logits, axis=-1)
+    ).reshape(B, K)
+    live_norm = _length_norm(state.scores + eos_lp, state.step + 1, config)
+    live_scores = jnp.where(exhausted, live_norm, NEG_INF)        # [B, K]
     live_tokens = jnp.where(
         jnp.arange(T)[None, None, :] == jnp.minimum(state.step, T - 1),
         eos_idx,
         state.tokens,
     )
-    fin_scores = jnp.where(no_fin, live_norm, state.fin_scores)
-    fin_tokens = jnp.where(no_fin[:, :, None], live_tokens, state.fin_tokens)
-    fin_lens = jnp.where(no_fin, state.step + 1, state.fin_lens)
 
-    order = jnp.argsort(-fin_scores, axis=1)
+    all_scores = jnp.concatenate([state.fin_scores, live_scores], axis=1)
+    all_tokens = jnp.concatenate([state.fin_tokens, live_tokens], axis=1)
+    all_lens = jnp.concatenate(
+        [state.fin_lens, jnp.broadcast_to(state.step + 1, (B, K))], axis=1
+    )
+    fin_scores, order = jax.lax.top_k(all_scores, K)
     return (
-        jnp.take_along_axis(fin_tokens, order[:, :, None], axis=1),
-        jnp.take_along_axis(fin_scores, order, axis=1),
-        jnp.take_along_axis(fin_lens, order, axis=1),
+        jnp.take_along_axis(all_tokens, order[:, :, None], axis=1),
+        fin_scores,
+        jnp.take_along_axis(all_lens, order, axis=1),
     )
 
 

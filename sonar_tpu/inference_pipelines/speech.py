@@ -77,27 +77,30 @@ class JitSpeechEncoder:
         self.params = params
         self.fbank_config = fbank_config
 
-        def fn(params, waves, wave_lens, max_frames):
+        def fn(params, waves, wave_lens, max_frames, kernels_off):
             feats, frame_lens = batched_fbank(
                 waves, wave_lens, max_frames, self.fbank_config
             )
             if self.fbank_dtype is not None:
                 feats = feats.astype(self.fbank_dtype)
-            if self.mesh is not None:
-                # A pallas_call is an opaque custom call to GSPMD: under a
-                # sharded jit it cannot be batch-partitioned and would
-                # force replication. Route the mesh path through the XLA
-                # lowerings (single-device serving keeps the fused kernel
-                # defaults).
-                from sonar_tpu.ops.attention import no_tpu_kernels
+            # A pallas_call is an opaque custom call to GSPMD: under a
+            # sharded jit it cannot be batch-partitioned and would force
+            # replication, so the mesh path always traces with the kernel
+            # gates off. ``kernels_off`` is a static jit arg captured at
+            # call time so the trace cache keys on ``no_tpu_kernels()``
+            # scopes too (single-device serving keeps the fused kernels).
+            from sonar_tpu.ops.attention import kernel_gate_scope
 
-                with no_tpu_kernels():
-                    out = model.apply(params, feats, frame_lens)
-            else:
+            with kernel_gate_scope(kernels_off):
                 out = model.apply(params, feats, frame_lens)
             return out.sentence_embeddings
 
-        self._fn = jax.jit(fn, static_argnames=("max_frames",))
+        self._fn = jax.jit(fn, static_argnames=("max_frames", "kernels_off"))
+
+    def _kernels_off(self) -> bool:
+        from sonar_tpu.ops.attention import tpu_kernels_disabled
+
+        return self.mesh is not None or tpu_kernels_disabled()
 
     @property
     def dtype(self):
@@ -127,7 +130,10 @@ class JitSpeechEncoder:
 
             batch_j = jax.device_put(batch_j, data_sharding(self.mesh, "data", None))
             lens_j = jax.device_put(lens_j, data_sharding(self.mesh, "data"))
-        emb = self._fn(self.params, batch_j, lens_j, max_frames)
+        emb = self._fn(
+            self.params, batch_j, lens_j, max_frames,
+            kernels_off=self._kernels_off(),
+        )
         return np.asarray(emb)[:b]
 
 

@@ -84,28 +84,34 @@ class JitTextEncoder:
             params = shard_params(params, mesh)
         self.params = params
 
-        def _apply(p, seqs, lens):
-            if self.mesh is not None:
-                # Pallas custom calls cannot be partitioned by GSPMD; the
-                # mesh path traces with every kernel gate off (XLA
-                # lowerings shard fine).
-                from sonar_tpu.ops.attention import no_tpu_kernels
+        def _apply(p, seqs, lens, kernels_off):
+            # Pallas custom calls cannot be partitioned by GSPMD, so the
+            # mesh path always traces with every kernel gate off (XLA
+            # lowerings shard fine). ``kernels_off`` is a STATIC jit arg
+            # captured at call time: the trace cache keys on it, so an
+            # encoder used both inside and outside a ``no_tpu_kernels()``
+            # scope gets the right lowering each time.
+            from sonar_tpu.ops.attention import kernel_gate_scope
 
-                with no_tpu_kernels():
-                    return model.apply(p, seqs, lens).sentence_embeddings
-            return model.apply(p, seqs, lens).sentence_embeddings
+            with kernel_gate_scope(kernels_off):
+                return model.apply(p, seqs, lens).sentence_embeddings
 
-        self._fn = jax.jit(_apply)
+        self._fn = jax.jit(_apply, static_argnames=("kernels_off",))
 
-        def _stacked(p, seqs, lens):
+        def _stacked(p, seqs, lens, kernels_off):
             def body(_, batch):
                 s, l = batch
-                return None, _apply(p, s, l)
+                return None, _apply(p, s, l, kernels_off)
 
             _, out = jax.lax.scan(body, None, (seqs, lens))
             return out
 
-        self._stack_fn = jax.jit(_stacked)
+        self._stack_fn = jax.jit(_stacked, static_argnames=("kernels_off",))
+
+    def _kernels_off(self) -> bool:
+        from sonar_tpu.ops.attention import tpu_kernels_disabled
+
+        return self.mesh is not None or tpu_kernels_disabled()
 
     @property
     def dtype(self):
@@ -132,7 +138,7 @@ class JitTextEncoder:
                 lens = jnp.pad(lens, ((0, pad),))
             seqs = jax.device_put(seqs, data_sharding(self.mesh, "data", None))
             lens = jax.device_put(lens, data_sharding(self.mesh, "data"))
-        emb = self._fn(self.params, seqs, lens)
+        emb = self._fn(self.params, seqs, lens, kernels_off=self._kernels_off())
         return np.asarray(emb)[: batch.true_batch]
 
     def encode_batches(
@@ -164,7 +170,9 @@ class JitTextEncoder:
                 lens = jnp.asarray(
                     np.stack([batches[i].seq_lens for i in chunk])
                 )
-                stack = self._stack_fn(self.params, seqs, lens)
+                stack = self._stack_fn(
+                    self.params, seqs, lens, kernels_off=self._kernels_off()
+                )
                 for row, i in enumerate(chunk):
                     futures[i] = (stack, row)
             for i in idx_list[n_stacked:]:
@@ -172,6 +180,7 @@ class JitTextEncoder:
                     self.params,
                     jnp.asarray(batches[i].seqs),
                     jnp.asarray(batches[i].seq_lens),
+                    kernels_off=self._kernels_off(),
                 )
         if not materialize:
             return futures
@@ -314,9 +323,21 @@ class TextToEmbeddingModelPipeline:
             )
             tokens = builder.map(tokenizer_encoder).map(truncate).and_return()
             with precision_context(self.model.dtype):
-                pairs = list(batcher.batches(iter(tokens), yield_indices=True))
-                embs = self.model.encode_batches([b for b, _ in pairs])
-                positions = [pos for _, pos in pairs]
+                # Windowed drain: a few hundred batches at a time keeps the
+                # dispatch-stacking benefit (dispatch_stack ~8 per shape)
+                # while bounding host memory — a full list() of tokenized
+                # batches grows without bound on very large corpora.
+                from itertools import islice
+
+                window = 256
+                it = batcher.batches(iter(tokens), yield_indices=True)
+                embs, positions = [], []
+                while True:
+                    pairs = list(islice(it, window))
+                    if not pairs:
+                        break
+                    embs.extend(self.model.encode_batches([b for b, _ in pairs]))
+                    positions.extend(pos for _, pos in pairs)
             if n_truncated:
                 warnings.warn(
                     f"For {n_truncated} input tensors for SONAR text encoder, "

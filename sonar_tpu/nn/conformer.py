@@ -92,14 +92,24 @@ def _use_relpos_kernel(x, bias, s: int, hd: int) -> bool:
     vs 1099); numerics match XLA at cosine ~1 (interpret-mode exact test
     plus on-chip bf16 check in scripts/bench_speech_slope.py).
     ``set_attention_impl('xla')`` opts out; CPU always uses XLA (the
-    kernel is covered there by interpret-mode tests)."""
+    kernel is covered there by interpret-mode tests).
+
+    Upper bound: the kernel keeps the whole [S, D] basis plus per-(b,h)
+    K/V in VMEM, which stops fitting somewhere past S ~2048 — long clips
+    (WAVE_BUCKETS admits 60 s => Conformer S ~3000) automatically fall
+    back to the XLA trig-factored lowering instead of requiring a manual
+    ``set_attention_impl``. The bias gate requires a broadcastable
+    [B, 1, 1, S] key mask: the kernel reads only ``bias[:, 0, 0, :]``,
+    so head- or query-varying biases must take the XLA path."""
     from sonar_tpu.ops.attention import _ATTENTION_IMPL, tpu_kernels_disabled
 
     if tpu_kernels_disabled():
         return False
-    if bias is not None and not (bias.ndim == 4 and bias.shape[-2] == 1):
+    if bias is not None and not (
+        bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[-2] == 1
+    ):
         return False
-    if not (s >= 128 and hd in (64, 128)):
+    if not (128 <= s <= 2048 and hd in (64, 128)):
         return False
     if _ATTENTION_IMPL == "pallas":
         return True

@@ -14,6 +14,8 @@ Shapes follow the TPU-friendly layout [B, H, S, Dh].
 
 from __future__ import annotations
 
+from contextlib import nullcontext
+from contextvars import ContextVar
 from typing import Optional
 
 import jax
@@ -53,13 +55,17 @@ def sdpa_xla(
 
 _ATTENTION_IMPL = "auto"  # auto | xla | pallas
 _FLASH_MIN_SEQ = 256      # below this the [S, S] logits are cheap; XLA wins
-_TPU_KERNELS_DISABLED = False
+# ContextVar (not a bare global): per-thread/per-context, so concurrent
+# traces in different threads cannot observe each other's scope.
+_TPU_KERNELS_DISABLED: ContextVar[bool] = ContextVar(
+    "tpu_kernels_disabled", default=False
+)
 
 
 def tpu_kernels_disabled() -> bool:
     """True while a ``no_tpu_kernels()`` scope is active (checked by every
     Pallas dispatch gate)."""
-    return _TPU_KERNELS_DISABLED
+    return _TPU_KERNELS_DISABLED.get()
 
 
 class no_tpu_kernels:
@@ -69,18 +75,32 @@ class no_tpu_kernels:
     mesh-sharded jit it cannot be partitioned — the mesh-aware wrappers
     (``JitTextEncoder(mesh=...)``, ``JitSpeechEncoder(mesh=...)``) trace
     their programs inside this scope. Trace-time only: the flag is read
-    while building the jaxpr.
+    while building the jaxpr, so it only affects functions whose TRACE
+    happens inside the scope — a jit cache hit reuses whatever lowering
+    was traced first. Jitted wrappers that must honor the scope
+    dynamically should read ``tpu_kernels_disabled()`` at call time, pass
+    it as a static jit argument, and re-enter ``kernel_gate_scope`` in
+    the traced body so the trace cache keys on the flag (see
+    ``JitTextEncoder._apply``).
     """
 
     def __enter__(self):
-        global _TPU_KERNELS_DISABLED
-        self._prev = _TPU_KERNELS_DISABLED
-        _TPU_KERNELS_DISABLED = True
+        self._token = _TPU_KERNELS_DISABLED.set(True)
 
     def __exit__(self, *exc):
-        global _TPU_KERNELS_DISABLED
-        _TPU_KERNELS_DISABLED = self._prev
+        _TPU_KERNELS_DISABLED.reset(self._token)
         return False
+
+
+def kernel_gate_scope(disabled: bool):
+    """``no_tpu_kernels()`` if ``disabled`` else a null context.
+
+    For jit boundaries: capture ``tpu_kernels_disabled()`` at call time,
+    pass it through as a static argument, and wrap the traced body in this
+    scope — the trace cache then keys on the flag instead of silently
+    reusing a trace built under the other setting.
+    """
+    return no_tpu_kernels() if disabled else nullcontext()
 
 
 def set_attention_impl(impl: str) -> None:
@@ -117,7 +137,7 @@ def dispatch_sdpa(
         and head_independent
         and q.shape[-1] in (64, 128)
     )
-    if (impl != "xla" and eligible and not _TPU_KERNELS_DISABLED
+    if (impl != "xla" and eligible and not tpu_kernels_disabled()
             and jax.default_backend() == "tpu"):
         from sonar_tpu.ops.pallas.flash import pallas_flash_attention
 

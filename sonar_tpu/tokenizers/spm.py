@@ -145,20 +145,30 @@ class SentencePieceModel:
                 self._charsmap = PrecompiledCharsmap(n.precompiled_charsmap)
             text = self._charsmap.normalize(text)
         elif n.name != "identity":
-            text = unicodedata.normalize("NFKC", text)
-            # NMT rules: normalize exotic spaces / strip control chars.
+            # NMT rules first, then NFKC — sentencepiece's nmt_nfkc order,
+            # exact tables per its builder (mirrored by HF tokenizers'
+            # `normalizers.Nmt`, the executable oracle in
+            # tests/unit/test_tokenizer_fuzz_multiscript.py): control chars
+            # removed; tab/newline/exotic separators/zero-widths -> space.
             out = []
             for ch in text:
                 cp = ord(ch)
-                if cp in (0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF):
+                if (
+                    0x0001 <= cp <= 0x0008
+                    or cp == 0x000B
+                    or 0x000E <= cp <= 0x001F
+                    or cp in (0x007F, 0x008F, 0x009F)
+                ):
                     continue
-                if ch in "\t\n\r" or unicodedata.category(ch) == "Zs":
+                if (
+                    cp in (0x0009, 0x000A, 0x000C, 0x000D, 0x1680)
+                    or 0x200B <= cp <= 0x200F
+                    or cp in (0x2028, 0x2029, 0x2581, 0xFEFF, 0xFFFD)
+                ):
                     out.append(" ")
-                elif unicodedata.category(ch) in ("Cc", "Cf"):
-                    continue
                 else:
                     out.append(ch)
-            text = "".join(out)
+            text = unicodedata.normalize("NFKC", "".join(out))
         if n.remove_extra_whitespaces:
             text = " ".join(x for x in text.split(" ") if x)
         if not text:

@@ -73,6 +73,44 @@ def translation_loss(
     return cross_entropy(logits, batch["tgt_out"], mask)
 
 
+def classifier_loss(
+    encoder,           # embedding model (e.g. SonarTextEncoder)
+    head,              # classifier head (e.g. MutoxClassifier / BLASER MLP)
+    params: Dict[str, Any],
+    batch: Dict[str, jnp.ndarray],
+    dropout_rng: Optional[jax.Array] = None,
+    *,
+    freeze_encoder: bool = True,
+) -> jnp.ndarray:
+    """MLP-head fine-tuning on pooled sentence embeddings.
+
+    The workflow of the reference notebook
+    (``examples/finetune_sonar_as_toxicity_classifier.ipynb``): a SONAR
+    encoder pools each input to one embedding, a small MLP head classifies
+    it. ``params = {"encoder": ..., "head": ...}`` so the same pytree can
+    be trained end-to-end or, with ``freeze_encoder=True`` (the notebook's
+    default regime), with encoder gradients stopped — the optimizer still
+    sees the full pytree, so switching regimes is just this flag.
+
+    batch: ``tokens`` [B, S] int32, ``lens`` [B] int32, ``labels`` [B]
+    int (binary {0,1} or class ids). Binary vs multiclass is inferred
+    from the head's output width: 1 -> sigmoid BCE, C>1 -> softmax CE.
+    """
+    enc_params = params["encoder"]
+    if freeze_encoder:
+        enc_params = jax.lax.stop_gradient(enc_params)
+    emb = encoder.apply(
+        enc_params, batch["tokens"], batch["lens"], dropout_rng=dropout_rng
+    ).sentence_embeddings
+    logits = head.apply(params["head"], emb).astype(jnp.float32)
+    labels = batch["labels"]
+    if logits.shape[-1] == 1:
+        return optax.sigmoid_binary_cross_entropy(
+            logits[:, 0], labels.astype(jnp.float32)
+        ).mean()
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
 def make_train_step(
     loss_fn: Callable[[Any, Dict, Optional[jax.Array]], jnp.ndarray],
     optimizer: optax.GradientTransformation,

@@ -167,3 +167,68 @@ def test_segmentation_spacy_model_map():
     pipe = TextSegmentationPipeline(cfg)
     out = pipe.process_batch({"text": ["One. Two! Three?"]})
     assert out["text_output"][0] == ["One.", "Two!", "Three?"]
+
+
+def test_hf_audio_to_embedding_pipeline():
+    """Audio dataset column -> embedding column (reference semantics:
+    huggingface_pipelines/audio.py:117-293): mono passthrough, channel-mean
+    for multichannel (either orientation), None/empty rows -> None."""
+    from sonar_tpu.huggingface.audio import (
+        HFAudioToEmbeddingPipeline,
+        HFAudioToEmbeddingPipelineConfig,
+        normalize_audio,
+    )
+    from sonar_tpu.inference_pipelines.speech import JitSpeechEncoder
+    from sonar_tpu.models.sonar_speech.config import sonar_speech_encoder_archs
+    from sonar_tpu.models.sonar_speech.model import SonarSpeechEncoder
+    from sonar_tpu.ops.fbank import FbankConfig
+
+    cfg = sonar_speech_encoder_archs.get("toy")
+    model = SonarSpeechEncoder(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    enc = JitSpeechEncoder(model, params, fbank_config=FbankConfig(num_mel_bins=8))
+
+    rng = np.random.default_rng(0)
+    mono = (rng.normal(size=4000) * 0.1).astype(np.float32)
+    stereo_cf = (rng.normal(size=(2, 4800)) * 0.1).astype(np.float32)  # [C, T]
+    stereo_cl = (rng.normal(size=(5600, 2)) * 0.1).astype(np.float32)  # [T, C]
+
+    # normalize_audio: orientation-agnostic channel mean
+    np.testing.assert_allclose(
+        normalize_audio({"array": stereo_cf}), stereo_cf.mean(axis=0), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        normalize_audio(stereo_cl), stereo_cl.mean(axis=1), atol=1e-6
+    )
+    assert normalize_audio(None) is None
+    assert normalize_audio({"array": None}) is None
+
+    # Arrow needs one nesting depth per column: store every row as [C, T] /
+    # [T, C] nested lists (mono as [1, T]; flat-mono handling is pinned by
+    # the direct normalize_audio checks above).
+    ds = datasets.Dataset.from_dict(
+        {
+            "audio": [
+                {"array": mono[None, :].tolist(), "sampling_rate": 16000},
+                {"array": stereo_cf.tolist(), "sampling_rate": 16000},
+                None,
+                {"array": stereo_cl.tolist(), "sampling_rate": 16000},
+            ],
+            "id": [0, 1, 2, 3],
+        }
+    )
+    pcfg = HFAudioToEmbeddingPipelineConfig(
+        columns=["audio"], encoder_model=enc, audio_column="audio",
+        batch_size=4, sub_batch_size=2, output_column_suffix="emb",
+    )
+    out = HFAudioToEmbeddingPipeline(pcfg)(ds)
+    col = out["audio_emb"]
+    assert len(col) == 4
+    assert col[2] is None  # None row stays None
+    for i in (0, 1, 3):
+        assert col[i] is not None and len(col[i]) == cfg.model_dim
+        assert np.isfinite(np.asarray(col[i])).all()
+
+    # multichannel row == channel-mean mono encode
+    direct = enc.encode_waveforms([stereo_cf.mean(axis=0)])
+    np.testing.assert_allclose(np.asarray(col[1]), direct[0], atol=1e-4)

@@ -80,3 +80,60 @@ def test_conformer_kernel_path_matches_xla_in_interpret(s):
         pl.pallas_call = orig_call
         A.set_attention_impl("auto")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_relpos_kernel_gate_bounds():
+    """Shape-aware dispatch: the v2 kernel keeps the whole [S, D] basis in
+    VMEM, so long clips (S > 2048) must auto-fall back to the XLA
+    trig-factored lowering, and the kernel's key mask only represents a
+    broadcastable [B, 1, 1, S] bias."""
+    import sonar_tpu.nn.conformer as C
+    from sonar_tpu.ops import attention as A
+
+    x = jnp.zeros((1, 1, 1))
+    A.set_attention_impl("pallas")
+    try:
+        assert C._use_relpos_kernel(x, None, 512, 64)
+        assert C._use_relpos_kernel(x, None, 2048, 64)
+        assert not C._use_relpos_kernel(x, None, 2049, 64)
+        assert not C._use_relpos_kernel(x, None, 3000, 64)  # 60 s clip
+        assert not C._use_relpos_kernel(x, None, 64, 64)
+        bias_key = jnp.zeros((2, 1, 1, 512))
+        bias_heads = jnp.zeros((2, 4, 1, 512))
+        assert C._use_relpos_kernel(x, bias_key, 512, 64)
+        assert not C._use_relpos_kernel(x, bias_heads, 512, 64)
+        with A.no_tpu_kernels():
+            assert not C._use_relpos_kernel(x, None, 512, 64)
+    finally:
+        A.set_attention_impl("auto")
+
+
+def test_long_clip_rel_pos_attention_falls_back(monkeypatch):
+    """S past the kernel envelope encodes via the XLA lowering even when the
+    kernel impl is forced — no manual set_attention_impl needed. Any attempt
+    to build the kernel would trip the sentinel."""
+    import sonar_tpu.nn.conformer as C
+    import sonar_tpu.ops.pallas.relpos_flash as RF
+    from sonar_tpu.ops import attention as A
+    from sonar_tpu.ops.masks import additive_bias, length_mask
+
+    def boom(*a, **k):  # pragma: no cover - sentinel
+        raise AssertionError("kernel path must not dispatch past S=2048")
+
+    monkeypatch.setattr(RF, "relpos_flash_attention_v2", boom)
+
+    s = 2176  # > 2048, past the VMEM envelope
+    cfg = C.ConformerConfig(model_dim=128, num_layers=1, num_heads=2,
+                            ffn_inner_dim=64, depthwise_kernel_size=5)
+    params = C.init_rel_pos_attention(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, s, 128)) * 0.5
+    bias = additive_bias(length_mask(jnp.asarray([s - 100], jnp.int32), s))
+    bias = bias[:, None, None, :]
+
+    A.set_attention_impl("pallas")
+    try:
+        got = C.rel_pos_attention(params, x, bias, cfg)
+    finally:
+        A.set_attention_impl("auto")
+    assert got.shape == (1, s, 128)
+    assert bool(jnp.isfinite(got).all())

@@ -100,3 +100,84 @@ def test_remat_gradients_match():
     g1, g2 = loss(plain), loss(remat)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_classifier_train_step_reduces_loss():
+    """classifier_loss (frozen-encoder MLP-head fine-tuning, the reference
+    notebook's workflow) decreases under the shared train step; the frozen
+    encoder receives exactly zero gradient."""
+    from sonar_tpu.models.mutox.model import MutoxClassifier, MutoxConfig
+    from sonar_tpu.training.train_step import classifier_loss
+
+    enc_cfg = sonar_text_encoder_archs.get("toy")
+    encoder = SonarTextEncoder(enc_cfg)
+    head = MutoxClassifier(MutoxConfig(input_size=enc_cfg.model_dim))
+    params = {
+        "encoder": encoder.init_params(jax.random.PRNGKey(0)),
+        "head": head.init_params(jax.random.PRNGKey(1)),
+    }
+    rng = np.random.default_rng(0)
+    batch = {
+        "tokens": jnp.asarray(rng.integers(4, 1000, size=(8, 8)), jnp.int32),
+        "lens": jnp.full((8,), 8, jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 2, size=(8,)), jnp.int32),
+    }
+
+    def loss_fn(p, b, r):
+        return classifier_loss(encoder, head, p, b, r)
+
+    grads = jax.grad(lambda p: loss_fn(p, batch, None))(params)
+    enc_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["encoder"])
+    )
+    assert enc_norm == 0.0  # frozen by default
+    head_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["head"])
+    )
+    assert head_norm > 0.0
+
+    optimizer = optax.adam(1e-2)
+    step = jax.jit(make_train_step(loss_fn, optimizer))
+    state = init_train_state(params, optimizer)
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, batch, jax.random.PRNGKey(0))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_classifier_loss_multiclass_and_unfrozen():
+    from sonar_tpu.training.train_step import classifier_loss
+
+    from sonar_tpu.nn.core import init_linear, linear
+
+    class FiveWayHead:
+        def init_params(self, rng):
+            return init_linear(rng, enc_cfg.model_dim, 5)
+
+        def apply(self, params, x):
+            return linear(params, x)
+
+    enc_cfg = sonar_text_encoder_archs.get("toy")
+    encoder = SonarTextEncoder(enc_cfg)
+    head = FiveWayHead()
+    params = {
+        "encoder": encoder.init_params(jax.random.PRNGKey(0)),
+        "head": head.init_params(jax.random.PRNGKey(1)),
+    }
+    rng = np.random.default_rng(1)
+    batch = {
+        "tokens": jnp.asarray(rng.integers(4, 1000, size=(4, 6)), jnp.int32),
+        "lens": jnp.full((4,), 6, jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 5, size=(4,)), jnp.int32),
+    }
+    loss = classifier_loss(encoder, head, params, batch)
+    assert np.isfinite(float(loss))
+
+    grads = jax.grad(
+        lambda p: classifier_loss(encoder, head, p, batch, freeze_encoder=False)
+    )(params)
+    enc_norm = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["encoder"])
+    )
+    assert enc_norm > 0.0  # end-to-end gradients flow when unfrozen
