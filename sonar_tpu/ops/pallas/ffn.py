@@ -103,6 +103,106 @@ def fused_int8_ffn_ln(
                            ln_scale, ln_bias, block_m, n_splits, interpret)
 
 
+def _bf16_ffn_half_kernel(x_ref, w1_ref, b1_ref, w2_ref,
+                          ln_s_ref, ln_b_ref, o_ref):
+    """Partial y_s = silu(LN(x) @ W1[:, s] + b1[s]) @ W2[s, :].
+
+    SiLU is elementwise over the inner activation, so — exactly like the
+    ReLU split in the int8 kernel above — column splits of W1 are
+    independent and the halves' partial outputs sum exactly. LN stats and
+    SiLU run in fp32 on the VMEM-resident block; the [bm, Fh] inner
+    activation never leaves VMEM."""
+    x_in = x_ref[...]
+    x = x_in.astype(jnp.float32)                     # [bm, D]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    ln = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    ln = ln * ln_s_ref[...] + ln_b_ref[...]
+    h = jax.lax.dot_general(
+        ln.astype(x_in.dtype), w1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...]                                  # [bm, Fh] fp32
+    h = h * jax.nn.sigmoid(h)                        # SiLU (w2v-BERT FFN)
+    o_ref[...] = jax.lax.dot_general(
+        h.astype(x_in.dtype), w2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("res_scale", "block_m", "n_splits", "interpret")
+)
+def fused_bf16_ffn_ln_residual(
+    x: jnp.ndarray,         # [M, D] bf16/fp32
+    ln_scale: jnp.ndarray,  # [D]
+    ln_bias: jnp.ndarray,   # [D]
+    w1: jnp.ndarray,        # [D, F]
+    b1: jnp.ndarray,        # [F]
+    w2: jnp.ndarray,        # [F, D]
+    b2: jnp.ndarray,        # [D]
+    res_scale: float = 0.5,
+    block_m: int = 256,
+    n_splits: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x + res_scale * ffn(LN(x)) — the Conformer macaron half-FFN branch
+    (``nn.conformer.conformer_block``). The FFN width is processed in
+    column splits so each ``pallas_call``'s resident weights (bf16
+    W1-split + W2-split = 8 MB at 1024x4096, n_splits=2) fit the 16 MB
+    scoped-VMEM budget; partial outputs sum exactly (see kernel note).
+
+    NOT wired into the Conformer: the r3 slope A/B
+    (scripts/bench_conformer_ffn.py) measured the XLA lowering of this
+    branch at 140-165 TFLOPS isolated — XLA already fuses LN/SiLU into
+    the bf16 matmuls here — and this kernel only ties it (within noise)
+    at M=2048-8192, cosine 0.9999. Recorded negative result; kept as the
+    bf16 fusion reference alongside the int8 kernel (where the dynamic
+    quant round-trips DO make fusion a 2x win)."""
+    m, d = x.shape
+    f = w1.shape[1]
+    assert f % n_splits == 0
+    fh = f // n_splits
+    block_m = min(block_m, max(8, m))
+    pad_m = (-m) % block_m
+    if pad_m:
+        x = jnp.pad(x, ((0, pad_m), (0, 0)))
+    grid = ((m + pad_m) // block_m,)
+    const = lambda i: (0, 0)
+    kernel = pl.pallas_call(
+        _bf16_ffn_half_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, fh), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fh), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((fh, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_m, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m + pad_m, d), jnp.float32),
+        interpret=interpret,
+    )
+    w1c = w1.astype(x.dtype)
+    w2c = w2.astype(x.dtype)
+    ln_s = ln_scale[None, :].astype(jnp.float32)
+    ln_b = ln_bias[None, :].astype(jnp.float32)
+    y = None
+    for s in range(n_splits):
+        sl = slice(s * fh, (s + 1) * fh)
+        part = kernel(
+            x, w1c[:, sl], b1[None, sl].astype(jnp.float32), w2c[sl, :],
+            ln_s, ln_b,
+        )
+        y = part if y is None else y + part
+    y = y + b2[None, :].astype(jnp.float32)
+    return (x.astype(jnp.float32) + res_scale * y).astype(x.dtype)[:m]
+
+
 def _fused_ffn_impl(x, w1_q, w1_scale, b1, w2_q, w2_scale, b2,
                     ln_scale, ln_bias, block_m, n_splits, interpret):
     m, d = x.shape

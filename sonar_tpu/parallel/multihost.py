@@ -21,8 +21,19 @@ T = TypeVar("T")
 
 
 def initialize(coordinator_address: Optional[str] = None, **kwargs) -> None:
-    if jax.process_count() > 1 or coordinator_address is not None:
+    """Distributed init. MUST run before any backend-touching JAX call —
+    probing ``jax.process_count()`` here would itself initialize the
+    backend and make ``jax.distributed.initialize`` impossible (caught by
+    tests/unit/test_multihost.py, which launches real worker processes).
+    A no-op unless a coordinator is given explicitly or via the standard
+    cluster environment.
+    """
+    import os
+
+    if coordinator_address is not None:
         jax.distributed.initialize(coordinator_address=coordinator_address, **kwargs)
+    elif "JAX_COORDINATOR_ADDRESS" in os.environ or kwargs:
+        jax.distributed.initialize(**kwargs)
 
 
 def shard_for_host(items: Sequence[T]) -> Sequence[T]:

@@ -83,3 +83,32 @@ def test_fused_ffn_bf16_input():
         np.linalg.norm(got.astype(np.float32)) * np.linalg.norm(ref)
     )
     assert cos > 0.999, cos
+
+
+def test_fused_bf16_ffn_ln_residual_matches_xla():
+    """Interpret-mode exactness of the bf16 Conformer half-FFN kernel
+    (recorded-negative perf experiment, scripts/bench_conformer_ffn.py) vs
+    the plain XLA branch, incl. a ragged row count and both split widths."""
+    from sonar_tpu.nn.core import layer_norm
+    from sonar_tpu.ops.pallas.ffn import fused_bf16_ffn_ln_residual
+
+    rng = jax.random.PRNGKey(0)
+    m, d, f = 300, 128, 512
+    mk = lambda i, shape, s=1.0: (
+        jax.random.normal(jax.random.fold_in(rng, i), shape) * s
+    )
+    x = mk(1, (m, d))
+    ln_s, ln_b = 1 + 0.1 * mk(2, (d,)), 0.1 * mk(3, (d,))
+    w1, b1 = mk(4, (d, f), 0.05), 0.1 * mk(5, (f,))
+    w2, b2 = mk(6, (f, d), 0.05), 0.1 * mk(7, (d,))
+
+    ln = layer_norm({"weight": ln_s, "bias": ln_b}, x)
+    want = x + 0.5 * (jax.nn.silu(ln @ w1 + b1) @ w2 + b2)
+    for n_splits in (1, 2, 4):
+        got = fused_bf16_ffn_ln_residual(
+            x, ln_s, ln_b, w1, b1, w2, b2,
+            block_m=128, n_splits=n_splits, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4
+        )
