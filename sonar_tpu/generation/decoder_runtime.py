@@ -49,9 +49,24 @@ class JitTextDecoder:
         self.params = params
         self._beam_jit = {}
         self._sample_jit = {}
-        self._score_fn = jax.jit(
-            lambda p, seqs, lens, mem: model.forward(p, seqs, lens, mem)
-        )
+
+        def _score(p, seqs, lens, mem, kernels_off):
+            from sonar_tpu.ops.attention import kernel_gate_scope
+
+            with kernel_gate_scope(kernels_off):
+                return model.forward(p, seqs, lens, mem)
+
+        self._score_fn = jax.jit(_score, static_argnames=("kernels_off",))
+
+    def _kernels_off(self) -> bool:
+        # Pallas custom calls cannot be partitioned by GSPMD: mesh-sharded
+        # generation always traces with the kernel gates off (decode steps
+        # are usually below every kernel threshold anyway, but a large
+        # quantized batch would cross the fused-FFN gate). Also honors an
+        # ambient no_tpu_kernels() scope; jit cache keys carry the flag.
+        from sonar_tpu.ops.attention import tpu_kernels_disabled
+
+        return self.mesh is not None or tpu_kernels_disabled()
 
     @property
     def dtype(self):
@@ -73,6 +88,7 @@ class JitTextDecoder:
                 self.params, jnp.asarray(seqs),
                 None if seq_lens is None else jnp.asarray(seq_lens),
                 jnp.asarray(memory),
+                kernels_off=self._kernels_off(),
             )
         )
 
@@ -86,7 +102,13 @@ class JitTextDecoder:
         unk = model.config.vocab_info.unk_idx
         K = config.beam_size
 
-        def fn(params, memory, prefix):
+        def fn(params, memory, prefix, kernels_off):
+            from sonar_tpu.ops.attention import kernel_gate_scope
+
+            with kernel_gate_scope(kernels_off):
+                return _search(params, memory, prefix)
+
+        def _search(params, memory, prefix):
             B = memory.shape[0]
             mem_rep = jnp.repeat(memory, K, axis=0)  # [B*K, 1, D]
             cache_len = prefix_len + config.max_gen_len + 1
@@ -107,7 +129,7 @@ class JitTextDecoder:
                 unk_idx=unk, cache_len=cache_len,
             )
 
-        return jax.jit(fn)
+        return jax.jit(fn, static_argnames=("kernels_off",))
 
     def generate_beam(
         self,
@@ -135,7 +157,9 @@ class JitTextDecoder:
         key = (config, len(prefix_ids))
         if key not in self._beam_jit:
             self._beam_jit[key] = self._build_beam_fn(config, len(prefix_ids))
-        tokens, scores, lens = self._beam_jit[key](self.params, mem_j, prefix_j)
+        tokens, scores, lens = self._beam_jit[key](
+            self.params, mem_j, prefix_j, kernels_off=self._kernels_off()
+        )
         return np.asarray(tokens)[:b], np.asarray(scores)[:b], np.asarray(lens)[:b]
 
     # -- sampling ---------------------------------------------------------------
@@ -147,7 +171,13 @@ class JitTextDecoder:
         eos = model.config.vocab_info.eos_idx
         pad = model.config.vocab_info.pad_idx or 0
 
-        def fn(params, memory, prefix, rng):
+        def fn(params, memory, prefix, rng, kernels_off):
+            from sonar_tpu.ops.attention import kernel_gate_scope
+
+            with kernel_gate_scope(kernels_off):
+                return _sample(params, memory, prefix, rng)
+
+        def _sample(params, memory, prefix, rng):
             cache = model.init_cache(
                 params, memory, max_len=prefix_len + max_gen_len + 1
             )
@@ -161,7 +191,7 @@ class JitTextDecoder:
                 max_gen_len, min_gen_len, pad_idx=pad,
             )
 
-        return jax.jit(fn)
+        return jax.jit(fn, static_argnames=("kernels_off",))
 
     def generate_sample(
         self,
@@ -186,6 +216,6 @@ class JitTextDecoder:
             )
         tokens, scores, lens = self._sample_jit[key](
             self.params, jnp.asarray(memory), jnp.asarray(prefix),
-            jax.random.PRNGKey(seed),
+            jax.random.PRNGKey(seed), kernels_off=self._kernels_off(),
         )
         return np.asarray(tokens)[:b], np.asarray(scores)[:b], np.asarray(lens)[:b]

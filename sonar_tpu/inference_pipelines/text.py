@@ -50,6 +50,12 @@ def _static_len_buckets_for(max_len: int) -> tuple:
     return tuple(b for b in STATIC_LEN_BUCKETS if b < max_len) + (max_len,)
 
 
+# Batches per encode window in the static path: bounds host memory on huge
+# corpora while keeping enough same-shape batches per window for dispatch
+# stacking. Module-level so tests can shrink it.
+_STATIC_ENCODE_WINDOW = 256
+
+
 class JitTextEncoder:
     """Shape-bucketed jit wrapper around a SonarTextEncoder + params.
 
@@ -329,7 +335,7 @@ class TextToEmbeddingModelPipeline:
                 # batches grows without bound on very large corpora.
                 from itertools import islice
 
-                window = 256
+                window = _STATIC_ENCODE_WINDOW
                 it = batcher.batches(iter(tokens), yield_indices=True)
                 embs, positions = [], []
                 while True:

@@ -88,3 +88,27 @@ def test_jit_text_encoder_keys_trace_cache_on_scope():
         out_scoped = enc.encode_batch(batch)
     assert enc._fn._cache_size() == n_traces + 1  # re-traced, not reused
     np.testing.assert_allclose(out_plain, out_scoped, atol=1e-5)
+
+
+def test_jit_speech_encoder_keys_trace_cache_on_scope():
+    """Same contract as the text encoder: the speech wrapper re-traces
+    (not reuses) when called inside a ``no_tpu_kernels()`` scope."""
+    from sonar_tpu.inference_pipelines.speech import JitSpeechEncoder
+    from sonar_tpu.models.sonar_speech.config import sonar_speech_encoder_archs
+    from sonar_tpu.models.sonar_speech.model import SonarSpeechEncoder
+    from sonar_tpu.ops.fbank import FbankConfig
+
+    cfg = sonar_speech_encoder_archs.get("toy")
+    model = SonarSpeechEncoder(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    enc = JitSpeechEncoder(model, params, fbank_config=FbankConfig(num_mel_bins=8))
+
+    rng = np.random.default_rng(0)
+    waves = [(rng.normal(size=4000) * 0.1).astype(np.float32)]
+    out_plain = enc.encode_waveforms(waves)
+    n_traces = enc._fn._cache_size()
+    with A.no_tpu_kernels():
+        assert enc._kernels_off()
+        out_scoped = enc.encode_waveforms(waves)
+    assert enc._fn._cache_size() == n_traces + 1
+    np.testing.assert_allclose(out_plain, out_scoped, atol=1e-5)

@@ -180,3 +180,25 @@ def test_encode_batches_stacked_dispatch(toy_bundle):
     for got, want, b in zip(stacked, single, batches):
         assert got.shape == (b.true_batch, want.shape[1])
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_static_batching_windowed_drain_restores_order(toy_bundle, monkeypatch):
+    """The bounded-memory windowed drain (window < number of batches) must
+    produce the same embeddings, in input order, as the dynamic path."""
+    import sonar_tpu.inference_pipelines.text as T
+
+    tok, enc, dec = toy_bundle
+    pipe = TextToEmbeddingModelPipeline(encoder=enc, tokenizer=tok)
+    rng = np.random.default_rng(0)
+    words = ["hello", "world", "cat", "name", "my"]
+    sents = [
+        " ".join(rng.choice(words, size=rng.integers(1, 7)))
+        for _ in range(60)
+    ]
+    want = pipe.predict(sents, source_lang="eng_Latn", batch_size=4)
+
+    monkeypatch.setattr(T, "_STATIC_ENCODE_WINDOW", 2)
+    got = pipe.predict(
+        sents, source_lang="eng_Latn", batch_max_tokens=32, batching="static"
+    )
+    np.testing.assert_allclose(got, want, atol=1e-4)
