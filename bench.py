@@ -50,7 +50,11 @@ _BUCKET_SETS = {
     "fine26": (8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 22, 24, 26,
                28, 30, 32, 36, 40, 48, 56, 64, 80, 128),
 }
-LEN_BUCKETS = _BUCKET_SETS[os.environ.get("SONAR_TPU_BENCH_BUCKETS", "fine26")]
+# "dpK" (e.g. dp40) = exact DP-optimal K boundaries for the corpus length
+# distribution (data/batcher.py optimal_len_buckets) — what a deployment
+# serving a stationary traffic mix would tune.
+_BUCKET_SPEC = os.environ.get("SONAR_TPU_BENCH_BUCKETS", "fine26")
+LEN_BUCKETS = _BUCKET_SETS.get(_BUCKET_SPEC)
 WARMUP_BATCHES = 6
 BASELINE_SENTS_PER_SEC = 10_000.0
 VOCAB = 256_000
@@ -86,10 +90,17 @@ def main() -> None:
 
     # Static-shape batching: one fixed (batch, len) shape per length bucket,
     # batches filled completely — minimal padding waste AND bounded compiles.
-    from sonar_tpu.data.batcher import StaticShapeBatcher
+    from sonar_tpu.data.batcher import StaticShapeBatcher, optimal_len_buckets
 
+    len_buckets = LEN_BUCKETS
+    if len_buckets is None:
+        assert _BUCKET_SPEC.startswith("dp"), _BUCKET_SPEC
+        probe = synthetic_corpus(np.random.default_rng(0), N_SENTENCES)
+        len_buckets = optimal_len_buckets(
+            [len(s) for s in probe], int(_BUCKET_SPEC[2:])
+        )
     batcher = StaticShapeBatcher(
-        pad_value=1, len_buckets=LEN_BUCKETS,
+        pad_value=1, len_buckets=len_buckets,
         tokens_per_batch=BATCH_MAX_TOKENS,
     )
     # Five distinct corpora (same distribution, different seeds): the

@@ -13,7 +13,7 @@ Used by bench.py; available to pipelines via ``batching="static"``.
 from __future__ import annotations
 
 import logging
-from typing import Dict, Iterable, Iterator, List, Sequence, Tuple
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -118,3 +118,58 @@ class StaticShapeBatcher:
         if self._yield_indices:
             return batch, np.asarray([pos for pos, _ in items], np.int64)
         return batch
+
+
+def optimal_len_buckets(
+    lengths: Sequence[int],
+    k: int = 32,
+    max_len: Optional[int] = None,
+) -> Tuple[int, ...]:
+    """K bucket boundaries minimizing total padded tokens for ``lengths``.
+
+    Exact dynamic program over the length histogram: ``dp[j][k]`` = minimal
+    padded tokens covering lengths <= j with k buckets whose last boundary
+    is j (every item pads up to its bucket's boundary). O(L^2 K) on
+    L = max length — microseconds at sentence lengths. A deployment serving
+    a stationary traffic distribution tunes its static bucket set with
+    this; the returned boundaries always include the observed (or given)
+    maximum so every input fits.
+
+    Only length-rounding waste is modeled; remainder-batch waste (the last
+    partial batch per bucket) grows with k, so past ~k=40 the marginal
+    rounding gain loses to fragmentation — measure end-to-end via
+    ``StaticShapeBatcher.last_stats`` when picking k.
+    """
+    lens = np.asarray(list(lengths), np.int64)
+    if lens.size == 0:
+        raise ValueError("lengths must be non-empty")
+    top = int(max_len if max_len is not None else lens.max())
+    lens = np.minimum(lens, top)
+    cnt = np.bincount(lens, minlength=top + 1).astype(np.int64)
+    pc = np.concatenate([[0], np.cumsum(cnt)])  # pc[j] = count(len < j)
+
+    k = min(k, int((cnt > 0).sum()))
+    INF = np.int64(1) << 60
+    # dp[j]: minimal cost covering lengths <= j (boundary at j), current k
+    dp_prev = np.full(top + 1, INF)
+    dp_prev[0] = 0
+    parent = np.zeros((k + 1, top + 1), np.int32)
+    j = np.arange(top + 1)
+    for ki in range(1, k + 1):
+        dp_cur = np.full(top + 1, INF)
+        for b in range(1, top + 1):
+            # last bucket covers lengths (a, b]: cost (pc[b+1]-pc[a+1]) * b
+            a = np.arange(b)
+            costs = dp_prev[a] + (pc[b + 1] - pc[a + 1]) * b
+            best = int(np.argmin(costs))
+            dp_cur[b] = costs[best]
+            parent[ki, b] = best
+        dp_prev = dp_cur
+
+    bounds = []
+    b, ki = top, k
+    while b > 0 and ki > 0:
+        bounds.append(int(b))
+        b = int(parent[ki, b])
+        ki -= 1
+    return tuple(sorted(bounds))

@@ -54,3 +54,38 @@ def test_padding_waste_bounded(rng):
     padded = sum(x.seqs.size for x in batches)
     # small corpus => one mostly-padding remainder batch per bucket
     assert real / padded > 0.55, (real, padded)
+
+
+def test_optimal_len_buckets_matches_brute_force():
+    """Exact DP == exhaustive search over boundary subsets (tiny cases)."""
+    import itertools
+
+    from sonar_tpu.data.batcher import optimal_len_buckets
+
+    def cost(lens, buckets):
+        bs = sorted(buckets)
+        return sum(next(b for b in bs if b >= l) for l in lens)
+
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        lens = rng.integers(1, 15, size=12).tolist()
+        uniq = sorted(set(lens))
+        for k in (1, 2, 3):
+            kk = min(k, len(uniq))
+            want = min(
+                cost(lens, c + (max(uniq),))
+                for c in itertools.combinations(uniq, kk - 1)
+                if all(x < max(uniq) for x in c)
+            )
+            got = optimal_len_buckets(lens, kk)
+            assert cost(lens, got) == want, (trial, k, lens, got)
+            assert got[-1] == max(lens)  # every input fits
+
+
+def test_optimal_len_buckets_respects_max_len():
+    from sonar_tpu.data.batcher import optimal_len_buckets
+
+    bs = optimal_len_buckets([3, 5, 900], 3, max_len=128)
+    assert bs[-1] == 128
+    bs2 = optimal_len_buckets([7] * 100, 5)
+    assert bs2 == (7,)  # k clamps to the number of distinct lengths
