@@ -54,6 +54,13 @@ _BUCKET_SETS = {
 # distribution (data/batcher.py optimal_len_buckets) — what a deployment
 # serving a stationary traffic mix would tune.
 _BUCKET_SPEC = os.environ.get("SONAR_TPU_BENCH_BUCKETS", "fine26")
+if _BUCKET_SPEC not in _BUCKET_SETS and not (
+    _BUCKET_SPEC.startswith("dp") and _BUCKET_SPEC[2:].isdigit()
+):
+    raise ValueError(
+        f"SONAR_TPU_BENCH_BUCKETS={_BUCKET_SPEC!r}: expected one of "
+        f"{sorted(_BUCKET_SETS)} or 'dpK' (e.g. dp40)"
+    )
 LEN_BUCKETS = _BUCKET_SETS.get(_BUCKET_SPEC)
 WARMUP_BATCHES = 6
 BASELINE_SENTS_PER_SEC = 10_000.0
@@ -93,8 +100,7 @@ def main() -> None:
     from sonar_tpu.data.batcher import StaticShapeBatcher, optimal_len_buckets
 
     len_buckets = LEN_BUCKETS
-    if len_buckets is None:
-        assert _BUCKET_SPEC.startswith("dp"), _BUCKET_SPEC
+    if len_buckets is None:  # validated "dpK" spec
         probe = synthetic_corpus(np.random.default_rng(0), N_SENTENCES)
         len_buckets = optimal_len_buckets(
             [len(s) for s in probe], int(_BUCKET_SPEC[2:])

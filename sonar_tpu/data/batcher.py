@@ -154,7 +154,6 @@ def optimal_len_buckets(
     dp_prev = np.full(top + 1, INF)
     dp_prev[0] = 0
     parent = np.zeros((k + 1, top + 1), np.int32)
-    j = np.arange(top + 1)
     for ki in range(1, k + 1):
         dp_cur = np.full(top + 1, INF)
         for b in range(1, top + 1):

@@ -135,9 +135,15 @@ def beam_search_oracle(
             elif v != eos_idx and len(new_beams) < K:
                 new_beams.append((beams[bi][0] + [v], sc))
         beams = new_beams
+        # Early-exit bound: cumulative logprob only decreases, EOS charge is
+        # <= 0, and for negative scores the length normalization is most
+        # favorable at the MAXIMUM possible finalization length — which is
+        # max_gen_len + 1 (the forced-EOS hypothesis). Normalizing at
+        # max_gen_len instead would under-bound the forced candidate and
+        # let early exit drop a winning hypothesis.
         if not beams or (
             len(finished) >= K
-            and max(config.normalized(sc, config.max_gen_len) for _, sc in beams)
+            and max(config.normalized(sc, config.max_gen_len + 1) for _, sc in beams)
             <= min(f[1] for f in sorted(finished, key=lambda x: -x[1])[:K])
         ):
             exhausted = False
@@ -257,10 +263,14 @@ def beam_search_lax(
     def cond(carry):
         state, _logits = carry
         # Upper bound on any live beam's final normalized score: cumulative
-        # logprob can only decrease, and for negative scores the length
-        # normalization is most favorable at the maximum length — so bound
-        # with max_gen_len (same bound as the oracle).
-        max_len = jnp.full((), config.max_gen_len, jnp.int32)
+        # logprob only decreases, the forced EOS charge is <= 0, and for
+        # negative scores the length normalization is most favorable at the
+        # maximum possible finalization length = max_gen_len + 1 (the
+        # forced-EOS hypothesis). Same bound as the oracle; this is also
+        # what keeps the final merge per-row consistent — a row whose bound
+        # says "cannot improve" provably gains nothing from the
+        # forced-EOS candidates another row's progress exposes it to.
+        max_len = jnp.full((), config.max_gen_len + 1, jnp.int32)
         live_best = _length_norm(state.scores, max_len, config).max(axis=1)
         fin_worst = state.fin_scores.min(axis=1)
         improvable = live_best > fin_worst

@@ -59,14 +59,12 @@ class JitTextDecoder:
         self._score_fn = jax.jit(_score, static_argnames=("kernels_off",))
 
     def _kernels_off(self) -> bool:
-        # Pallas custom calls cannot be partitioned by GSPMD: mesh-sharded
-        # generation always traces with the kernel gates off (decode steps
-        # are usually below every kernel threshold anyway, but a large
-        # quantized batch would cross the fused-FFN gate). Also honors an
-        # ambient no_tpu_kernels() scope; jit cache keys carry the flag.
-        from sonar_tpu.ops.attention import tpu_kernels_disabled
+        # Decode steps are usually below every kernel threshold, but a
+        # large quantized batch would cross the fused-FFN gate under a
+        # mesh; jit cache keys carry the flag (see kernels_off_for).
+        from sonar_tpu.ops.attention import kernels_off_for
 
-        return self.mesh is not None or tpu_kernels_disabled()
+        return kernels_off_for(self.mesh)
 
     @property
     def dtype(self):

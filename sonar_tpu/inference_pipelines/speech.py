@@ -98,9 +98,9 @@ class JitSpeechEncoder:
         self._fn = jax.jit(fn, static_argnames=("max_frames", "kernels_off"))
 
     def _kernels_off(self) -> bool:
-        from sonar_tpu.ops.attention import tpu_kernels_disabled
+        from sonar_tpu.ops.attention import kernels_off_for
 
-        return self.mesh is not None or tpu_kernels_disabled()
+        return kernels_off_for(self.mesh)
 
     @property
     def dtype(self):

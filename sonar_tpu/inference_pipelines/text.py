@@ -115,9 +115,9 @@ class JitTextEncoder:
         self._stack_fn = jax.jit(_stacked, static_argnames=("kernels_off",))
 
     def _kernels_off(self) -> bool:
-        from sonar_tpu.ops.attention import tpu_kernels_disabled
+        from sonar_tpu.ops.attention import kernels_off_for
 
-        return self.mesh is not None or tpu_kernels_disabled()
+        return kernels_off_for(self.mesh)
 
     @property
     def dtype(self):

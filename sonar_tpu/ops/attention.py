@@ -103,6 +103,16 @@ def kernel_gate_scope(disabled: bool):
     return no_tpu_kernels() if disabled else nullcontext()
 
 
+def kernels_off_for(mesh) -> bool:
+    """The shared jit-wrapper gate policy: Pallas custom calls cannot be
+    partitioned by GSPMD, so mesh-sharded programs always trace with the
+    kernel gates off; otherwise an ambient ``no_tpu_kernels()`` scope
+    decides. Used by every Jit* wrapper (text/speech/decoder) so the
+    policy lives in one place.
+    """
+    return mesh is not None or tpu_kernels_disabled()
+
+
 def set_attention_impl(impl: str) -> None:
     """Global attention backend: 'auto' (on TPU: the fused rel-pos
     Conformer kernel — a measured 1.4x on speech — plus Pallas for

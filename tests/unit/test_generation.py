@@ -294,3 +294,110 @@ def test_beam_all_tied_logits_scores_analytic():
         assert 1 <= L <= 7  # up to max_gen_len + forced EOS
         want = (L ** (1.0 - penalty)) * (-np.log(VOCAB))
         np.testing.assert_allclose(float(scores[0, 0]), want, rtol=1e-5)
+
+
+def test_beam_early_exit_bound_covers_forced_eos():
+    """The early-exit bound must normalize at max_gen_len + 1 (the forced-
+    EOS hypothesis length): a live beam whose bound AT max_gen_len ties the
+    worst finished hypothesis can still win after the forced final step.
+    Constructed so the stale bound exits at step 0 and returns -1.0 while
+    the true winner is the forced hypothesis at ~-0.81 (r3 review finding).
+
+    Distributions are valid log-probs (logsumexp == 0), fed as raw logits
+    to the lax path and as log-probs to the oracle:
+      g=0:  eos -1.0, a -4.0          (finalize eos at -1.0; a continues)
+      g=1-3: a -0.0127, eos -6        (a keeps extending almost freely)
+      g=4:  eos -0.01                 (the forced step charges ~nothing)
+    """
+    V, EOS, A = 64, 3, 4
+
+    def dist(eos_lp, a_lp):
+        # spread the remaining mass uniformly over the 62 filler tokens so
+        # every filler ranks strictly below `a` (valid log-probs: lse == 0)
+        rem = 1.0 - np.exp(eos_lp) - np.exp(a_lp)
+        row = np.full((V,), np.log(rem / (V - 2)), np.float32)
+        row[EOS], row[A] = eos_lp, a_lp
+        return row
+
+    table = np.stack([
+        dist(-1.0, -4.0),         # g=0
+        dist(-6.0, -0.0127),      # g=1
+        dist(-6.0, -0.0127),      # g=2
+        dist(-6.0, -0.0127),      # g=3
+        dist(-0.01, -6.0),        # g=4 (forced)
+    ])
+    np.testing.assert_allclose(
+        np.asarray(jax.scipy.special.logsumexp(jnp.asarray(table), axis=-1)),
+        0.0, atol=1e-5,
+    )
+    config = BeamSearchConfig(beam_size=1, max_gen_len=4, min_gen_len=1,
+                              len_penalty=1.0, normalize_scores=True)
+    want_tokens = [A, A, A, A, EOS]
+    want_score = (-4.0 - 3 * 0.0127 - 0.01) / 5.0
+
+    # -- oracle --------------------------------------------------------------
+    def logprob_fn(seqs):
+        return np.stack([table[len(s) - 1] for s in seqs])
+
+    got_tokens, got_score = beam_search_oracle(logprob_fn, [EOS], EOS, config)
+    assert got_tokens == want_tokens, got_tokens
+    np.testing.assert_allclose(got_score, want_score, atol=1e-4)
+
+    # -- lax path (hand-rolled step_fn, cache = call counter) ---------------
+    from sonar_tpu.generation.beam_search import beam_search_lax
+
+    table_j = jnp.asarray(table)
+
+    def step_fn(tokens, cache, ancestry):
+        logits = jnp.broadcast_to(
+            table_j[jnp.minimum(cache, 4)], (tokens.shape[0], V)
+        )
+        return logits.astype(jnp.float32), cache + 1
+
+    tokens, scores, lens = jax.jit(
+        lambda: beam_search_lax(
+            step_fn, jnp.zeros((), jnp.int32),
+            jnp.asarray([[EOS]], jnp.int32), EOS, V, config,
+        )
+    )()
+    L = int(lens[0, 0])
+    assert tokens[0, 0, :L].tolist() == want_tokens, tokens[0, 0, :L]
+    np.testing.assert_allclose(float(scores[0, 0]), want_score, atol=1e-4)
+
+
+def test_beam_batch_independence_stress():
+    """Rows of a batch must decode exactly as they would alone, across many
+    random models/memories (guards the final-merge semantics against
+    batch-composition effects: one row driving the loop to max_gen_len must
+    not change another row's result)."""
+    dec, params = _tiny_decoder()
+    eos = dec.config.vocab_info.eos_idx
+    config = BeamSearchConfig(beam_size=2, max_gen_len=6)
+    w = params["decoder_frontend"]["embed"]["weight"]
+    direction = jax.random.normal(jax.random.PRNGKey(99), (w.shape[1],))
+    for trial in range(4):
+        # vary the EOS pull so finishing times differ across rows/trials
+        p = {
+            **params,
+            "decoder_frontend": {
+                **params["decoder_frontend"],
+                "embed": {
+                    "weight": w.at[eos].add(0.25 * trial * direction)
+                },
+            },
+        }
+        runtime = JitTextDecoder(dec, p)
+        mems = np.asarray(jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(7), trial),
+            (3, 1, dec.config.model_dim),
+        ))
+        tok_b, sc_b, len_b = runtime.generate_beam(mems, [eos, 5], config)
+        for i in range(3):
+            tok_1, sc_1, len_1 = runtime.generate_beam(
+                mems[i : i + 1], [eos, 5], config
+            )
+            assert (
+                tok_b[i, 0][: len_b[i, 0]].tolist()
+                == tok_1[0, 0][: len_1[0, 0]].tolist()
+            ), (trial, i)
+            np.testing.assert_allclose(sc_b[i, 0], sc_1[0, 0], atol=1e-4)

@@ -64,3 +64,34 @@ def test_initialize_noop_without_coordinator():
 
     initialize()  # no coordinator, no cluster env -> no-op
     assert shard_for_host([1, 2, 3]) == [1, 2, 3]
+
+
+def test_multiprocess_cluster_env_detection(monkeypatch):
+    from sonar_tpu.parallel import multihost as mh
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_NTASKS",
+                "SLURM_NPROCS", "OMPI_COMM_WORLD_SIZE", "PMI_SIZE",
+                "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert not mh._multiprocess_cluster_env()
+
+    # single-worker TPU setups export the hostnames var too — not a cluster
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert not mh._multiprocess_cluster_env()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    assert mh._multiprocess_cluster_env()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    assert not mh._multiprocess_cluster_env()
+    monkeypatch.setenv("SLURM_NTASKS", "4")
+    assert mh._multiprocess_cluster_env()
+    monkeypatch.delenv("SLURM_NTASKS")
+
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "2")
+    assert mh._multiprocess_cluster_env()
+    monkeypatch.delenv("OMPI_COMM_WORLD_SIZE")
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    assert mh._multiprocess_cluster_env()
