@@ -136,14 +136,19 @@ def sample_lax(
             logprobs,
         )
 
-    state, _ = jax.lax.while_loop(cond, body, (state, logprobs))
+    state, final_logprobs = jax.lax.while_loop(cond, body, (state, logprobs))
 
-    # Force-close unfinished rows with eos.
+    # Force-close unfinished rows with eos, charging the model's EOS
+    # logprob (the final step_fn output is each row's next-token
+    # distribution) — same forced-final-step semantics as beam search.
     unfinished = ~state.finished
     tokens = jnp.where(
         (jnp.arange(T)[None, :] == jnp.minimum(state.step, T - 1)) & unfinished[:, None],
         eos_idx,
         state.tokens,
     )
+    scores = jnp.where(
+        unfinished, state.scores + final_logprobs[:, eos_idx], state.scores
+    )
     lens = jnp.where(unfinished, state.step + 1, state.lens)
-    return tokens, state.scores, lens
+    return tokens, scores, lens

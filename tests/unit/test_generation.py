@@ -401,3 +401,35 @@ def test_beam_batch_independence_stress():
                 == tok_1[0, 0][: len_1[0, 0]].tolist()
             ), (trial, i)
             np.testing.assert_allclose(sc_b[i, 0], sc_1[0, 0], atol=1e-4)
+
+
+def test_sampling_score_matches_teacher_forced_recompute():
+    """Greedy sampling's returned score == the sum of teacher-forced
+    next-token logprobs over the generated sequence INCLUDING the final
+    EOS — both for naturally-finished and force-closed rows (the forced
+    close charges the model's EOS logprob, like beam's forced final step)."""
+    dec, params = _tiny_decoder()
+    eos = dec.config.vocab_info.eos_idx
+    runtime = JitTextDecoder(dec, params)
+    mem = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(5), (2, 1, dec.config.model_dim))
+    )
+    prefix = [eos, 5]
+    tok, sc, lens = runtime.generate_sample(
+        mem, prefix, TopKSampler(k=1), max_gen_len=4
+    )
+    for i in range(2):
+        L = int(lens[i])
+        seq = prefix + tok[i][:L].tolist()
+        assert seq[-1] == eos
+        # teacher-forced recompute of each generated token's logprob
+        arr = np.asarray([seq], np.int32)
+        logits = runtime.score(arr, np.asarray([len(seq)], np.int32),
+                               mem[i : i + 1])
+        lp = np.asarray(
+            jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+        )[0]
+        want = sum(
+            lp[len(prefix) + g - 1, seq[len(prefix) + g]] for g in range(L)
+        )
+        np.testing.assert_allclose(float(sc[i]), want, atol=1e-3), i
