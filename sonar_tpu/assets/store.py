@@ -102,13 +102,41 @@ def cache_dir() -> Path:
     return d
 
 
+# Leaf filenames too generic to identify an asset: several registry URLs
+# end in the same name (both BLASER checkpoints are HF ".../resolve/main/
+# model.pt"), which would collide in the flat cache directory and silently
+# serve the wrong weights.
+_GENERIC_LEAF_NAMES = frozenset(
+    {"model.pt", "model.bin", "model.safetensors", "pytorch_model.bin",
+     "checkpoint.pt"}
+)
+_URL_PATH_NOISE = frozenset({"resolve", "blob", "raw", "main", "master"})
+
+
+def cache_filename(url: str) -> str:
+    """Deterministic cache filename for a URL: the basename, qualified
+    with the repository segment when the basename alone is generic
+    (e.g. ``.../blaser-2.0-qe/resolve/main/model.pt`` ->
+    ``blaser-2.0-qe-model.pt``)."""
+    parts = [p for p in url.split("://", 1)[-1].split("/")[1:] if p]
+    name = parts[-1]
+    if name in _GENERIC_LEAF_NAMES:
+        qual = next(
+            (p for p in reversed(parts[:-1]) if p not in _URL_PATH_NOISE),
+            "",
+        )
+        if qual:
+            name = f"{qual}-{name}"
+    return name
+
+
 def cached_path(url_or_path: str) -> Path:
     """Resolve a URL (download+cache) or local/file:// path to a local file."""
     if url_or_path.startswith("file://"):
         return Path(url_or_path[7:])
     if "://" not in url_or_path:
         return Path(url_or_path)
-    fname = url_or_path.rstrip("/").rsplit("/", 1)[-1]
+    fname = cache_filename(url_or_path)
     target = cache_dir() / fname
     if target.exists():
         return target

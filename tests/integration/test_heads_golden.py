@@ -9,12 +9,12 @@ Golden numbers from the reference integration tests (BASELINE.md):
 import numpy as np
 import pytest
 
-from sonar_tpu.assets.store import cache_dir, default_store
+from sonar_tpu.assets.store import cache_dir, cache_filename, default_store
 
 
 def _cached(name: str) -> bool:
     card = default_store().model_card(name)
-    return (cache_dir() / card.checkpoint.rsplit("/", 1)[-1]).exists()
+    return (cache_dir() / cache_filename(card.checkpoint)).exists()
 
 
 @pytest.mark.skipif(not _cached("blaser_2_0_ref"), reason="blaser ckpt not cached")

@@ -13,17 +13,17 @@ well-formed text through the real decoder.
 import numpy as np
 import pytest
 
-from sonar_tpu.assets.store import cache_dir, default_store
+from sonar_tpu.assets.store import cache_dir, cache_filename, default_store
 
 
 def _cached(name: str) -> bool:
     card = default_store().model_card(name)
-    return (cache_dir() / card.checkpoint.rsplit("/", 1)[-1]).exists()
+    return (cache_dir() / cache_filename(card.checkpoint)).exists()
 
 
 def _tok_cached() -> bool:
     card = default_store().tokenizer_card("text_sonar_basic_encoder")
-    return (cache_dir() / card.model.rsplit("/", 1)[-1]).exists()
+    return (cache_dir() / cache_filename(card.model)).exists()
 
 
 needs_speech = pytest.mark.skipif(

@@ -10,18 +10,17 @@ the download cache is pre-seeded (zero-egress environments).
 import numpy as np
 import pytest
 
-from sonar_tpu.assets.store import cache_dir, default_store
+from sonar_tpu.assets.store import cache_dir, cache_filename, default_store
 
 
 def _cached(name: str) -> bool:
     card = default_store().model_card(name)
-    fname = card.checkpoint.rsplit("/", 1)[-1]
-    return (cache_dir() / fname).exists()
+    return (cache_dir() / cache_filename(card.checkpoint)).exists()
 
 
 def _tokenizer_cached() -> bool:
     card = default_store().tokenizer_card("text_sonar_basic_encoder")
-    return (cache_dir() / card.model.rsplit("/", 1)[-1]).exists()
+    return (cache_dir() / cache_filename(card.model)).exists()
 
 
 needs_encoder = pytest.mark.skipif(

@@ -154,3 +154,32 @@ def test_speech_tsv_to_text_pipeline(tmp_path):
     )
     out = list(iter(pipe.build_pipeline(params)))
     assert len(out) == 1 and isinstance(out[0][0], str)
+
+
+def test_cache_filename_disambiguates_generic_leaves():
+    """Registry URLs sharing a generic basename (both BLASER checkpoints
+    end in HF's ".../resolve/main/model.pt") must map to distinct cache
+    files — a flat-basename cache silently served the wrong weights."""
+    from sonar_tpu.assets.store import cache_filename, default_store
+
+    store = default_store()
+    urls = [c.checkpoint for c in store.models.values() if c.checkpoint]
+    urls += [t.model for t in store.tokenizers.values()]
+    names = [cache_filename(u) for u in urls]
+    # distinct URLs must never share a cache filename
+    by_name = {}
+    for u, n in zip(urls, names):
+        by_name.setdefault(n, set()).add(u)
+    conflicts = {n: us for n, us in by_name.items() if len(us) > 1}
+    assert not conflicts, conflicts
+    assert (
+        cache_filename(
+            "https://huggingface.co/facebook/blaser-2.0-qe/resolve/main/model.pt"
+        )
+        == "blaser-2.0-qe-model.pt"
+    )
+    # non-generic basenames stay untouched (pre-seeded caches keep working)
+    assert (
+        cache_filename("https://dl.fbaipublicfiles.com/SONAR/spenc.eng.pt")
+        == "spenc.eng.pt"
+    )
