@@ -49,20 +49,33 @@ class ConformerConfig:
 # Relative position attention (Transformer-XL / w2v-BERT style)
 # ---------------------------------------------------------------------------
 
+def _rel_inv_freq(dim: int) -> np.ndarray:
+    """fairseq2/ESPnet frequencies: exp(-2i * ln(10000) / dim)."""
+    return np.exp(
+        np.arange(0, dim, 2, dtype=np.float64) * (-np.log(10000.0) / dim)
+    )
+
+
 def rel_pos_table(seq_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
     """[2S-1, D] encodings for distances [S-1 .. -(S-1)] (descending),
-    interleaved-free fairseq layout via the shared sinusoidal table."""
-    # distance d -> row index (S-1-d); build from |positions| with sign via
-    # the standard sin/cos table over positions 0..2S-2 shifted.
+    in the fairseq2/ESPnet convention: INTERLEAVED sin (even columns) /
+    cos (odd columns) with frequency denominator ln(10000)/dim.
+
+    This is the convention the SONAR speech checkpoints were trained
+    with — pinned against HF ``Wav2Vec2BertRelPositionalEmbedding`` (the
+    direct port of fairseq2's ``RelativePositionalEncoding``,
+    ``transformers/models/wav2vec2_bert/modeling_wav2vec2_bert.py``) by
+    ``tests/unit/test_conformer_hf_parity.py``. NOTE it differs from the
+    fairseq1 TEXT sinusoidal table (``nn.position``: half-split sin|cos,
+    denominator ln(10000)/(half-1)); r2 wrongly reused the text formula
+    here, which the HF cross-framework test caught.
+    """
+    assert dim % 2 == 0, "rel-pos encoding dim must be even"
     positions = np.arange(seq_len - 1, -seq_len, -1, dtype=np.float64)  # S-1..-(S-1)
-    half = dim // 2
-    inv_freq = np.exp(
-        np.arange(half, dtype=np.float64) * (-np.log(10000.0) / (half - 1))
-    )
-    args = positions[:, None] * inv_freq[None, :]
-    table = np.concatenate([np.sin(args), np.cos(args)], axis=1)
-    if dim % 2 == 1:
-        table = np.concatenate([table, np.zeros((table.shape[0], 1))], axis=1)
+    args = positions[:, None] * _rel_inv_freq(dim)[None, :]
+    table = np.zeros((positions.shape[0], dim))
+    table[:, 0::2] = np.sin(args)
+    table[:, 1::2] = np.cos(args)
     return jnp.asarray(table, dtype)
 
 
@@ -142,25 +155,29 @@ def rel_pos_attention(
     # Positional term WITHOUT materializing [B, H, S, 2S-1] or rel-shifting:
     # the table rows are sinusoids, so the trig addition identities factor
     # r(i-j) into an i-rotation applied to a j-basis:
-    #   z[i]·r(i-j) = sum_k [z_s sin(i w) + z_c cos(i w)] cos(j w)
-    #               + [-z_s cos(i w) + z_c sin(i w)] sin(j w)
-    # (z = the r_proj-projected query row). bd becomes ONE ordinary matmul
-    # against a [S, D] cos|sin basis. The classic Transformer-XL
+    #   z·r(i-j) = sum_w [z_s sin(i w) + z_c cos(i w)] cos(j w)
+    #            + [z_c sin(i w) - z_s cos(i w)] sin(j w)
+    # where z = the r_proj-INPUT-side query row and, in the fairseq2/ESPnet
+    # table convention (see ``rel_pos_table``), z_s/z_c are z's even/odd
+    # columns (the sin-/cos-facing table columns). bd becomes ONE ordinary
+    # matmul against a [S, D] cos|sin basis. The classic Transformer-XL
     # pad/reshape shift is pure data movement but lowers to strided copies
     # that measure 2.2 ms/layer on v5e at speech shapes — 52% of the whole
     # Conformer encoder; this factorization removes it entirely
     # (chip-measured in scripts/bench_speech_slope.py). Exact in exact
     # arithmetic; fp32 agreement with the brute-force oracle ~1e-6
-    # (tests/unit/test_speech.py::test_rel_pos_attention_shift_correctness).
+    # (tests/unit/test_speech.py::test_rel_pos_attention_shift_correctness)
+    # and with HF's torch w2v-BERT layer (test_conformer_hf_parity.py).
     half = d // 2
     pos = np.arange(s, dtype=np.float64)
-    inv_freq = np.exp(
-        np.arange(half, dtype=np.float64) * (-np.log(10000.0) / (half - 1))
-    )
-    args = pos[:, None] * inv_freq[None, :]                    # [S, half]
+    args = pos[:, None] * _rel_inv_freq(d)[None, :]            # [S, half]
     si = jnp.asarray(np.sin(args), acc_t)
     ci = jnp.asarray(np.cos(args), acc_t)
     basis = jnp.concatenate([ci, si], axis=-1)                 # [S, 2*half]
+    # The factorization works on a half-split [sin-facing | cos-facing]
+    # layout; with the interleaved table the r_proj input columns are
+    # permuted accordingly (even table columns first).
+    deint = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
 
     if _use_relpos_kernel(x, bias, s, hd):
         # Fully fused kernel: the trig-factored bd is built per q-block in
@@ -173,7 +190,7 @@ def rel_pos_attention(
 
         wrh = (
             params["sdpa"]["r_proj"]["kernel"]
-            .reshape(d, h, hd).transpose(1, 0, 2).astype(x.dtype)
+            .reshape(d, h, hd).transpose(1, 0, 2)[:, deint, :].astype(x.dtype)
         )                                                      # [H, D, hd]
         key_bias = None if bias is None else bias[:, 0, 0, :].astype(jnp.float32)
         out = relpos_flash_attention_v2(
@@ -184,11 +201,13 @@ def rel_pos_attention(
 
     wr = params["sdpa"]["r_proj"]["kernel"].astype(acc_t)      # [D, D]
     qv = (q + vb[None, :, None, :]).astype(acc_t)
+    # permute the weight's table-facing axis (not the activations: a
+    # stride-2 lane slice on [B,H,S,D] would force a relayout on TPU)
     z = jnp.einsum(
-        "bhid,Dhd->bhiD", qv, wr.reshape(d, h, hd),
+        "bhid,Dhd->bhiD", qv, wr.reshape(d, h, hd)[deint],
         preferred_element_type=acc_t,
     )                                                          # [B,H,S,D]
-    z_s, z_c = z[..., :half], z[..., half : 2 * half]
+    z_s, z_c = z[..., :half], z[..., half:]
     w_rot = jnp.concatenate(
         [z_s * si + z_c * ci, z_c * si - z_s * ci], axis=-1
     )                                                          # [B,H,S,2*half]

@@ -43,13 +43,16 @@ def _lin(p, x):
 
 
 def _rel_table(s, dim):
+    # fairseq2/ESPnet convention: interleaved sin/cos, denominator
+    # ln(10000)/dim (matches HF Wav2Vec2BertRelPositionalEmbedding; see
+    # test_conformer_hf_parity.py for the cross-framework pin)
     positions = np.arange(s - 1, -s, -1, dtype=np.float64)
-    half = dim // 2
-    inv = np.exp(np.arange(half) * (-math.log(10000.0) / (half - 1)))
+    inv = np.exp(np.arange(0, dim, 2) * (-math.log(10000.0) / dim))
     args = positions[:, None] * inv[None, :]
-    return torch.tensor(
-        np.concatenate([np.sin(args), np.cos(args)], 1).astype(np.float32)
-    )
+    table = np.zeros((positions.shape[0], dim), np.float32)
+    table[:, 0::2] = np.sin(args)
+    table[:, 1::2] = np.cos(args)
+    return torch.tensor(table)
 
 
 def _torch_block(p, x):
