@@ -119,3 +119,143 @@ def test_decoder_layer_matches_m2m100(mem_len):
         )
     )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def _stack_m2m_layers(sd, n_layers, cross=False):
+    import jax.numpy as jnp
+
+    from sonar_tpu.nn.transformer import stack_layers
+
+    t = lambda a: jnp.asarray(a.T)
+    lin = lambda p: {"kernel": t(sd[p + ".weight"]),
+                     "bias": jnp.asarray(sd[p + ".bias"])}
+    ln = lambda p: {"weight": jnp.asarray(sd[p + ".weight"]),
+                    "bias": jnp.asarray(sd[p + ".bias"])}
+    layers = []
+    for i in range(n_layers):
+        pre = f"layers.{i}."
+        layer = {
+            "self_attn": {"q_proj": lin(pre + "self_attn.q_proj"),
+                          "k_proj": lin(pre + "self_attn.k_proj"),
+                          "v_proj": lin(pre + "self_attn.v_proj"),
+                          "output_proj": lin(pre + "self_attn.out_proj")},
+            "self_attn_layer_norm": ln(pre + "self_attn_layer_norm"),
+            "ffn": {"inner_proj": lin(pre + "fc1"),
+                    "output_proj": lin(pre + "fc2")},
+            "ffn_layer_norm": ln(pre + "final_layer_norm"),
+        }
+        if cross:
+            layer["encoder_decoder_attn"] = {
+                "q_proj": lin(pre + "encoder_attn.q_proj"),
+                "k_proj": lin(pre + "encoder_attn.k_proj"),
+                "v_proj": lin(pre + "encoder_attn.v_proj"),
+                "output_proj": lin(pre + "encoder_attn.out_proj"),
+            }
+            layer["encoder_decoder_attn_layer_norm"] = ln(
+                pre + "encoder_attn_layer_norm"
+            )
+        layers.append(layer)
+    return stack_layers(layers), ln
+
+
+def test_full_text_encoder_matches_m2m100_encoder():
+    """End-to-end SonarTextEncoder (embed x sqrt(d), fairseq PE offset,
+    pre-LN layers, final LN, padding) == HF M2M100Encoder with mapped
+    weights — pins the whole frontend+stack composition, not just layers."""
+    import dataclasses
+
+    from transformers.models.m2m_100.modeling_m2m_100 import M2M100Encoder
+
+    from sonar_tpu.models.sonar_text import (
+        SonarTextEncoder,
+        sonar_text_encoder_archs,
+    )
+
+    torch.manual_seed(0)
+    L, V, S, B, PAD = 2, 96, 10, 2, 1
+    cfg = _m2m_config(encoder_layers=L, vocab_size=V, pad_token_id=PAD,
+                      scale_embedding=True, max_position_embeddings=128,
+                      encoder_layerdrop=0.0)
+    cfg.d_model = 32  # toy arch model_dim
+    henc = M2M100Encoder(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in henc.state_dict().items()}
+    stacked, ln = _stack_m2m_layers(sd, L)
+    params = {
+        "encoder_frontend": {
+            "embed": {"weight": jnp.asarray(sd["embed_tokens.weight"])}
+        },
+        "encoder": {"layers": stacked},
+        "layer_norm": ln("layer_norm"),
+    }
+    ocfg = dataclasses.replace(
+        sonar_text_encoder_archs.get("toy"),
+        vocab_info=dataclasses.replace(
+            sonar_text_encoder_archs.get("toy").vocab_info, size=V
+        ),
+    )
+    ours = SonarTextEncoder(ocfg)
+
+    rng = np.random.default_rng(0)
+    seqs = rng.integers(4, V, size=(B, S)).astype(np.int32)
+    lens = np.asarray([S, S - 3], np.int32)
+    seqs[1, S - 3:] = PAD
+    mask = torch.tensor((np.arange(S)[None, :] < lens[:, None]).astype(np.int64))
+    with torch.no_grad():
+        want = henc(
+            input_ids=torch.tensor(seqs.astype(np.int64)), attention_mask=mask
+        ).last_hidden_state.numpy()
+    got = np.asarray(
+        ours.apply(params, jnp.asarray(seqs), jnp.asarray(lens)).encoded_seqs
+    )
+    np.testing.assert_allclose(got[0], want[0], atol=2e-5)
+    np.testing.assert_allclose(got[1][: S - 3], want[1][: S - 3], atol=2e-5)
+
+
+def test_full_conditional_decoder_matches_m2m100_decoder():
+    """ConditionalTransformerDecoder logits (causal mask, pre-LN, final
+    decoder LN, tied projection, length-1 memory) == M2M100Decoder hidden
+    states projected through the tied embedding."""
+    import dataclasses
+
+    from transformers.models.m2m_100.modeling_m2m_100 import M2M100Decoder
+
+    from sonar_tpu.models.sonar_text import sonar_text_decoder_archs
+    from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
+
+    torch.manual_seed(2)
+    L, V, S, B, PAD = 2, 96, 8, 2, 1
+    cfg = _m2m_config(decoder_layers=L, vocab_size=V, pad_token_id=PAD,
+                      scale_embedding=True, max_position_embeddings=128,
+                      decoder_layerdrop=0.0)
+    cfg.d_model = 32  # toy arch model_dim
+    hdec = M2M100Decoder(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in hdec.state_dict().items()}
+    stacked, ln = _stack_m2m_layers(sd, L, cross=True)
+    params = {
+        "decoder_frontend": {
+            "embed": {"weight": jnp.asarray(sd["embed_tokens.weight"])}
+        },
+        "decoder": {"layers": stacked, "layer_norm": ln("layer_norm")},
+    }
+    ocfg = dataclasses.replace(
+        sonar_text_decoder_archs.get("toy"),
+        vocab_info=dataclasses.replace(
+            sonar_text_decoder_archs.get("toy").vocab_info, size=V
+        ),
+    )
+    ours = ConditionalTransformerDecoder(ocfg)
+
+    rng = np.random.default_rng(0)
+    seqs = rng.integers(4, V, size=(B, S)).astype(np.int32)
+    lens = np.full((B,), S, np.int32)
+    mem = (rng.normal(size=(B, 1, 32)) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        hid = hdec(
+            input_ids=torch.tensor(seqs.astype(np.int64)),
+            encoder_hidden_states=torch.tensor(mem),
+        ).last_hidden_state
+        want = (hid @ torch.tensor(sd["embed_tokens.weight"]).T).numpy()
+    got = np.asarray(
+        ours.forward(params, jnp.asarray(seqs), jnp.asarray(lens), jnp.asarray(mem))
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
