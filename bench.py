@@ -55,7 +55,9 @@ _BUCKET_SETS = {
 # serving a stationary traffic mix would tune.
 _BUCKET_SPEC = os.environ.get("SONAR_TPU_BENCH_BUCKETS", "fine26")
 if _BUCKET_SPEC not in _BUCKET_SETS and not (
-    _BUCKET_SPEC.startswith("dp") and _BUCKET_SPEC[2:].isdigit()
+    _BUCKET_SPEC.startswith("dp")
+    and _BUCKET_SPEC[2:].isdigit()
+    and int(_BUCKET_SPEC[2:]) >= 1
 ):
     raise ValueError(
         f"SONAR_TPU_BENCH_BUCKETS={_BUCKET_SPEC!r}: expected one of "

@@ -129,11 +129,13 @@ def optimal_len_buckets(
 
     Exact dynamic program over the length histogram: ``dp[j][k]`` = minimal
     padded tokens covering lengths <= j with k buckets whose last boundary
-    is j (every item pads up to its bucket's boundary). O(L^2 K) on
-    L = max length — microseconds at sentence lengths. A deployment serving
-    a stationary traffic distribution tunes its static bucket set with
-    this; the returned boundaries always include the observed (or given)
-    maximum so every input fits.
+    is j (every item pads up to its bucket's boundary); vectorized to one
+    [L, L] broadcast argmin per k-round (~ms at sentence lengths). A
+    deployment serving a stationary traffic distribution tunes its static
+    bucket set with this; the returned boundaries always include the
+    observed (or given) maximum so every input fits. Zero-length items
+    cost one padded row of the first bucket (``StaticShapeBatcher`` still
+    emits a row for them), so they are modeled as length 1.
 
     Only length-rounding waste is modeled; remainder-batch waste (the last
     partial batch per bucket) grows with k, so past ~k=40 the marginal
@@ -143,8 +145,14 @@ def optimal_len_buckets(
     lens = np.asarray(list(lengths), np.int64)
     if lens.size == 0:
         raise ValueError("lengths must be non-empty")
-    top = int(max_len if max_len is not None else lens.max())
-    lens = np.minimum(lens, top)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # all-zero lengths still need one bucket of length >= 1 (see below)
+    top = int(max_len) if max_len is not None else max(1, int(lens.max()))
+    if top < 1:
+        raise ValueError(f"maximum length must be >= 1, got {top}")
+    # an empty sequence still occupies a padded row in its bucket
+    lens = np.clip(lens, 1, top)
     cnt = np.bincount(lens, minlength=top + 1).astype(np.int64)
     pc = np.concatenate([[0], np.cumsum(cnt)])  # pc[j] = count(len < j)
 
@@ -154,21 +162,28 @@ def optimal_len_buckets(
     dp_prev = np.full(top + 1, INF)
     dp_prev[0] = 0
     parent = np.zeros((k + 1, top + 1), np.int32)
+    b = np.arange(1, top + 1)                       # candidate boundaries
+    a = np.arange(top)                              # previous boundaries
+    # items in the last bucket (a, b]: count = pc[b+1] - pc[a+1]
+    bucket_counts = pc[None, b + 1] - pc[a + 1, None]   # [A, B]
+    lower = a[:, None] < b[None, :]                 # valid a < b
     for ki in range(1, k + 1):
+        # costs[a_idx, b_idx] = dp_prev[a] + count(a, b] * b
+        costs = np.where(
+            lower & (dp_prev[a, None] < INF),
+            dp_prev[a, None] + bucket_counts * b[None, :],
+            INF,
+        )
+        best = np.argmin(costs, axis=0)             # [B]
         dp_cur = np.full(top + 1, INF)
-        for b in range(1, top + 1):
-            # last bucket covers lengths (a, b]: cost (pc[b+1]-pc[a+1]) * b
-            a = np.arange(b)
-            costs = dp_prev[a] + (pc[b + 1] - pc[a + 1]) * b
-            best = int(np.argmin(costs))
-            dp_cur[b] = costs[best]
-            parent[ki, b] = best
+        dp_cur[1:] = costs[best, np.arange(top)]
+        parent[ki, 1:] = best
         dp_prev = dp_cur
 
     bounds = []
-    b, ki = top, k
-    while b > 0 and ki > 0:
-        bounds.append(int(b))
-        b = int(parent[ki, b])
+    j, ki = top, k
+    while j > 0 and ki > 0:
+        bounds.append(int(j))
+        j = int(parent[ki, j])
         ki -= 1
     return tuple(sorted(bounds))

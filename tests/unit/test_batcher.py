@@ -1,6 +1,7 @@
 """StaticShapeBatcher: shape discipline, completeness, low waste."""
 
 import numpy as np
+import pytest
 
 from sonar_tpu.data.batcher import StaticShapeBatcher
 
@@ -89,3 +90,23 @@ def test_optimal_len_buckets_respects_max_len():
     assert bs[-1] == 128
     bs2 = optimal_len_buckets([7] * 100, 5)
     assert bs2 == (7,)  # k clamps to the number of distinct lengths
+
+
+def test_optimal_len_buckets_degenerate_inputs():
+    from sonar_tpu.data.batcher import StaticShapeBatcher, optimal_len_buckets
+
+    with pytest.raises(ValueError, match="k must be"):
+        optimal_len_buckets([3, 5, 9], 0)
+    with pytest.raises(ValueError, match="maximum length"):
+        optimal_len_buckets([4, 5], 2, max_len=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        optimal_len_buckets([], 3)
+    # zero-length items occupy a padded row -> modeled as length 1
+    bs = optimal_len_buckets([0, 0, 0], 2)
+    assert bs == (1,)
+    bs = optimal_len_buckets([0, 0, 5], 3)
+    assert bs[-1] == 5 and all(x >= 1 for x in bs)
+    # the result always feeds StaticShapeBatcher without crashing
+    b = StaticShapeBatcher(pad_value=1, len_buckets=bs, tokens_per_batch=64)
+    out = list(b.batches([[], [], [7, 8, 9, 10, 11]]))
+    assert sum(x.true_batch for x in out) == 3
