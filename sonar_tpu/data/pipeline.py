@@ -165,25 +165,47 @@ class DataPipelineBuilder:
             q: "queue.Queue" = queue.Queue(maxsize=num_prefetch)
             _SENTINEL = object()
             error: List[BaseException] = []
+            # Set when the consumer abandons the iterator (GeneratorExit):
+            # without it the worker would block on q.put forever once the
+            # queue fills — a thread + upstream-resource leak per abandoned
+            # pipeline in a long-lived process.
+            stop = threading.Event()
 
             def worker():
                 try:
                     for item in src():
-                        q.put(item)
+                        while not stop.is_set():
+                            try:
+                                q.put(item, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
                 except BaseException as e:  # propagate to consumer
                     error.append(e)
                 finally:
-                    q.put(_SENTINEL)
+                    # blocking-with-stop: the queue may be momentarily full,
+                    # but the sentinel MUST arrive unless the consumer left
+                    while not stop.is_set():
+                        try:
+                            q.put(_SENTINEL, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
 
             t = threading.Thread(target=worker, daemon=True)
             t.start()
-            while True:
-                item = q.get()
-                if item is _SENTINEL:
-                    if error:
-                        raise error[0]
-                    return
-                yield item
+            try:
+                while True:
+                    item = q.get()
+                    if item is _SENTINEL:
+                        if error:
+                            raise error[0]
+                        return
+                    yield item
+            finally:
+                stop.set()
 
         return DataPipelineBuilder(gen)
 

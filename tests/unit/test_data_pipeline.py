@@ -89,3 +89,34 @@ def test_collater_buckets_and_pads():
     batch3 = c([[1], [2], [3]])
     assert batch3.seqs.shape == (4, 4)  # batch padded to pow2
     assert batch3.seq_lens.tolist() == [1, 1, 1, 0]
+
+
+def test_prefetch_abandoned_iterator_releases_worker():
+    """Dropping a prefetching iterator mid-stream must stop the worker
+    thread (it would otherwise block on the full queue forever — a thread
+    leak per abandoned pipeline in a long-lived process)."""
+    import gc
+    import itertools
+    import threading
+    import time
+
+    from sonar_tpu.data.pipeline import read_iterator
+
+    before = threading.active_count()
+    pipe = (
+        read_iterator(lambda: itertools.count())
+        .map(lambda x: x * 2)
+        .prefetch(4)
+        .and_return()
+    )
+    it = iter(pipe)
+    assert next(it) == 0 and next(it) == 2
+    it.close()  # explicit abandonment (same path as GC of the generator)
+    del it, pipe
+    gc.collect()
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
