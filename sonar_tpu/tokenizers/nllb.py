@@ -61,6 +61,14 @@ class NllbTokenizer:
         lang = lang or self.default_lang
         if lang is None:
             raise ValueError("a language must be specified")
+        if self.langs and lang not in self.langs:
+            # fairseq2's NllbTokenizer raises for unsupported languages;
+            # silently mapping the tag to <unk> would embed the sentence
+            # in no-language space without any signal.
+            raise ValueError(
+                f"'{lang}' is not a supported language (expected one of "
+                f"{len(self.langs)} FLORES codes, e.g. {self.langs[:3]})"
+            )
         if mode in ("source", "default"):
             return SentencePieceEncoder(
                 self.model, prefix_tokens=[lang], suffix_tokens=["</s>"]

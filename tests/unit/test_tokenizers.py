@@ -188,3 +188,14 @@ def test_bpe_merge_encoding_matches_hf_tokenizers(tmp_path):
         ours = [m.id_to_piece(i) for i in m.encode(word)]
         theirs = hf.encode(word, add_special_tokens=False).tokens
         assert ours == theirs, (word, ours, theirs)
+
+
+def test_nllb_unknown_language_raises(tmp_path):
+    """fairseq2's NllbTokenizer raises for unsupported languages; silently
+    encoding the tag as <unk> would embed into no-language space."""
+    tok = build_toy_nllb(tmp_path)
+    with pytest.raises(ValueError, match="not a supported language"):
+        tok.create_encoder(lang="xx_Fake")
+    # supported languages still work
+    enc = tok.create_encoder(lang="eng_Latn")
+    assert enc("hello")[0] == tok.model.piece_to_id("eng_Latn")
