@@ -22,9 +22,18 @@ FRA_DOC = (
 
 
 def main():
-    pipe = TextToEmbeddingModelPipeline(
-        encoder="text_sonar_basic_encoder", tokenizer="text_sonar_basic_encoder"
-    )
+    try:
+        pipe = TextToEmbeddingModelPipeline(
+            encoder="text_sonar_basic_encoder", tokenizer="text_sonar_basic_encoder"
+        )
+    except RuntimeError as e:  # offline, cache not seeded
+        print(f"({e})\nfalling back to the toy in-process demo\n")
+        from _toy import toy_text_encoder, toy_tokenizer
+
+        pipe = TextToEmbeddingModelPipeline(
+            encoder=toy_text_encoder(),
+            tokenizer=toy_tokenizer(split_sentences(ENG_DOC) + split_sentences(FRA_DOC)),
+        )
     eng = split_sentences(ENG_DOC)
     fra = split_sentences(FRA_DOC)
     e = pipe.predict(eng, source_lang="eng_Latn")
