@@ -1,0 +1,49 @@
+"""Run the micro-batching embedding server and fire a few requests at it.
+
+Production deployments point ``EmbeddingServer`` at the real
+``text_sonar_basic_encoder`` (int8 serving mode) and put it behind their
+load balancer; offline this demo uses the toy fallback and self-tests the
+round trip.
+"""
+
+import json
+import urllib.request
+
+from sonar_tpu import TextToEmbeddingModelPipeline
+from sonar_tpu.serving import EmbeddingServer
+
+SENTENCES = ["My name is SONAR.", "I can embed sentences into vector space."]
+
+
+def main():
+    try:
+        pipe = TextToEmbeddingModelPipeline(
+            encoder="text_sonar_basic_encoder",
+            tokenizer="text_sonar_basic_encoder",
+        )
+    except RuntimeError as e:  # offline, cache not seeded
+        print(f"({e})\nfalling back to the toy in-process demo\n")
+        from _toy import toy_text_encoder, toy_tokenizer
+
+        pipe = TextToEmbeddingModelPipeline(
+            encoder=toy_text_encoder(), tokenizer=toy_tokenizer(SENTENCES)
+        )
+
+    server = EmbeddingServer(pipe, max_wait_ms=5).start()
+    host, port = server.address
+    print(f"serving on http://{host}:{port}  (POST /embed, GET /healthz)")
+    try:
+        req = urllib.request.Request(
+            f"http://{host}:{port}/embed",
+            data=json.dumps({"texts": SENTENCES, "lang": "eng_Latn"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        print(f"embedded {len(out['embeddings'])} sentences, dim {out['dim']}")
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

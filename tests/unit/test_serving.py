@@ -1,0 +1,101 @@
+"""Embedding server: HTTP round-trip, micro-batching, error paths."""
+
+import json
+import sys
+import threading
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from helpers import build_toy_nllb
+
+import jax
+
+from sonar_tpu.inference_pipelines.text import TextToEmbeddingModelPipeline
+from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
+from sonar_tpu.serving import EmbeddingServer
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    tok = build_toy_nllb(tmp_path_factory.mktemp("srv"))
+    enc = SonarTextEncoder(sonar_text_encoder_archs.get("toy"))
+    pipe = TextToEmbeddingModelPipeline(
+        encoder=(enc, enc.init_params(jax.random.PRNGKey(0))), tokenizer=tok
+    )
+    srv = EmbeddingServer(pipe, max_wait_ms=10).start()
+    yield srv, pipe
+    srv.stop()
+
+
+def _post(addr, payload, path="/embed"):
+    req = urllib.request.Request(
+        f"http://{addr[0]}:{addr[1]}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_embed_roundtrip_matches_direct_predict(server):
+    srv, pipe = server
+    texts = ["hello world", "my name is paul"]
+    out = _post(srv.address, {"texts": texts, "lang": "eng_Latn"})
+    want = pipe.predict(texts, source_lang="eng_Latn", batching="static")
+    got = np.asarray(out["embeddings"], np.float32)
+    assert out["dim"] == want.shape[1]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_concurrent_requests_are_batched_and_correct(server):
+    srv, pipe = server
+    texts_per_client = [[f"hello {w}"] for w in ("world", "cat", "paul", "name")]
+    results = [None] * len(texts_per_client)
+
+    def client(i):
+        results[i] = _post(
+            srv.address, {"texts": texts_per_client[i], "lang": "eng_Latn"}
+        )
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    for i, res in enumerate(results):
+        want = pipe.predict(
+            texts_per_client[i], source_lang="eng_Latn", batching="static"
+        )
+        np.testing.assert_allclose(
+            np.asarray(res["embeddings"], np.float32), want, atol=1e-4
+        )
+
+
+def test_error_paths(server):
+    srv, _ = server
+    out = _post(srv.address, {"texts": []})
+    assert out["embeddings"] == []
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.address, {"texts": "not-a-list"})
+    assert e.value.code == 400
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.address, {"texts": ["x"], "lang": "xx_Fake"})
+    assert e.value.code == 400  # tokenizer rejects unknown language
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.address, {"texts": ["x"]}, path="/nope")
+    assert e.value.code == 404
+
+    health = json.loads(
+        urllib.request.urlopen(
+            f"http://{srv.address[0]}:{srv.address[1]}/healthz", timeout=10
+        ).read()
+    )
+    assert health["status"] == "ok"
