@@ -214,3 +214,31 @@ def test_mesh_sharded_beam_decode_matches_single_device(tmp_path):
     np.testing.assert_array_equal(l1, l2)
     np.testing.assert_array_equal(t1, t2)
     np.testing.assert_allclose(s1, s2, atol=1e-4)
+
+
+def test_mesh_sharded_int8_encode_matches_single_device():
+    """mesh x quantize (the serving-default combination): int8 params
+    TP-shard under GSPMD (kernel_q column-split, scales replicated) and
+    the mesh result must equal the single-device int8 result."""
+    from sonar_tpu.data.collate import SequenceBatch
+    from sonar_tpu.inference_pipelines.text import JitTextEncoder
+
+    cfg = dataclasses.replace(
+        sonar_text_encoder_archs.get("toy"), model_dim=64, ffn_inner_dim=256,
+        num_encoder_attn_heads=4,
+    )
+    model = SonarTextEncoder(cfg)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    seqs = rng.integers(4, 1000, size=(8, 12)).astype(np.int32)
+    lens = np.asarray([12, 9, 12, 5, 12, 12, 7, 12], np.int32)
+    batch = SequenceBatch(seqs=seqs, seq_lens=lens, true_batch=8)
+
+    single = JitTextEncoder(model, params, quantize=True).encode_batch(batch)
+
+    mesh = make_mesh(data=4, model=2)
+    with mesh:
+        sharded = JitTextEncoder(
+            model, params, quantize=True, mesh=mesh
+        ).encode_batch(batch)
+    np.testing.assert_allclose(sharded, single, atol=2e-4)
