@@ -146,3 +146,119 @@ def test_rel_pos_table_matches_hf_fairseq2_port():
         theirs = pe(torch.zeros(1, s, D))[0].numpy()  # [2s-1, D]
     ours = np.asarray(C.rel_pos_table(s, D))
     np.testing.assert_allclose(ours, theirs, atol=1e-6)
+
+
+def test_full_speech_encoder_matches_seamless_m4t():
+    """End-to-end pre-pooler speech encoder — fbank frame stacking ->
+    post-extract LN -> model_dim projection -> Conformer blocks -> the
+    relocated final LN — vs HF SeamlessM4T's feature_projection + conformer
+    encoder (the direct port of fairseq2's w2v-BERT speech stack; the
+    Seamless-specific intermediate_ffn/inner_layer_norm extras after the
+    encoder are not part of SONAR and are excluded)."""
+    from transformers import SeamlessM4TConfig
+    from transformers.models.seamless_m4t.modeling_seamless_m4t import (
+        SeamlessM4TSpeechEncoder,
+    )
+
+    from sonar_tpu.models.sonar_speech.config import (
+        SonarSpeechEncoderConfig,
+        W2VBertFrontendConfig,
+    )
+    from sonar_tpu.models.sonar_speech.model import SonarSpeechEncoder
+    from sonar_tpu.nn.transformer import stack_layers
+
+    L, MEL = 2, 8
+    torch.manual_seed(0)
+    hf_cfg = SeamlessM4TConfig(
+        hidden_size=D, speech_encoder_attention_heads=H,
+        speech_encoder_intermediate_size=F, speech_encoder_layers=L,
+        conv_depthwise_kernel_size=K, feature_projection_input_dim=2 * MEL,
+        adaptor_kernel_size=3, num_adapter_layers=0,
+        position_embeddings_type="relative",
+        speech_encoder_hidden_act="swish", speech_encoder_dropout=0.0,
+        attention_dropout=0.0, activation_dropout=0.0,
+        speech_encoder_layerdrop=0.0, max_source_positions=256,
+    )
+    henc = SeamlessM4TSpeechEncoder(hf_cfg).eval()
+    with torch.no_grad():
+        for i in range(L):
+            bn = henc.encoder.layers[i].conv_module.batch_norm
+            bn.running_mean.normal_(0, 0.1)
+            bn.running_var.uniform_(0.5, 1.5)
+
+    sd = {k: v.detach().numpy() for k, v in henc.state_dict().items()}
+    t = lambda a: jnp.asarray(a.T)
+    lin = lambda p: {"kernel": t(sd[p + ".weight"]),
+                     "bias": jnp.asarray(sd[p + ".bias"])}
+    ln = lambda p: {"weight": jnp.asarray(sd[p + ".weight"]),
+                    "bias": jnp.asarray(sd[p + ".bias"])}
+    layers = []
+    for i in range(L):
+        pre = f"encoder.layers.{i}."
+        layers.append({
+            "ffn1_layer_norm": ln(pre + "ffn1_layer_norm"),
+            "ffn1": {"inner_proj": lin(pre + "ffn1.intermediate_dense"),
+                     "output_proj": lin(pre + "ffn1.output_dense")},
+            "self_attn_layer_norm": ln(pre + "self_attn_layer_norm"),
+            "self_attn": {
+                "q_proj": lin(pre + "self_attn.linear_q"),
+                "k_proj": lin(pre + "self_attn.linear_k"),
+                "v_proj": lin(pre + "self_attn.linear_v"),
+                "output_proj": lin(pre + "self_attn.linear_out"),
+                "sdpa": {
+                    "r_proj": {"kernel": t(sd[pre + "self_attn.linear_pos.weight"])},
+                    "u_bias": jnp.asarray(sd[pre + "self_attn.pos_bias_u"]),
+                    "v_bias": jnp.asarray(sd[pre + "self_attn.pos_bias_v"]),
+                },
+            },
+            "conv_layer_norm": ln(pre + "conv_module.layer_norm"),
+            "conv": {
+                "pointwise_conv1": {"kernel": jnp.asarray(
+                    sd[pre + "conv_module.pointwise_conv1.weight"][:, :, 0].T)},
+                "depthwise_conv": {"kernel": jnp.asarray(
+                    sd[pre + "conv_module.depthwise_conv.weight"].transpose(2, 1, 0))},
+                "batch_norm": {
+                    "weight": jnp.asarray(sd[pre + "conv_module.batch_norm.weight"]),
+                    "bias": jnp.asarray(sd[pre + "conv_module.batch_norm.bias"]),
+                    "running_mean": jnp.asarray(
+                        sd[pre + "conv_module.batch_norm.running_mean"]),
+                    "running_var": jnp.asarray(
+                        sd[pre + "conv_module.batch_norm.running_var"]),
+                },
+                "pointwise_conv2": {"kernel": jnp.asarray(
+                    sd[pre + "conv_module.pointwise_conv2.weight"][:, :, 0].T)},
+            },
+            "ffn2_layer_norm": ln(pre + "ffn2_layer_norm"),
+            "ffn2": {"inner_proj": lin(pre + "ffn2.intermediate_dense"),
+                     "output_proj": lin(pre + "ffn2.output_dense")},
+            "layer_norm": ln(pre + "final_layer_norm"),
+        })
+
+    from sonar_tpu.nn.conformer import ConformerConfig as CC
+
+    ocfg = SonarSpeechEncoderConfig(
+        conformer=CC(model_dim=D, num_layers=L, num_heads=H,
+                     ffn_inner_dim=F, depthwise_kernel_size=K),
+        frontend=W2VBertFrontendConfig(num_fbank_channels=MEL, fbank_stride=2,
+                                       model_dim=D),
+        model_dim=D, num_decoder_layers=1, num_decoder_attn_heads=H,
+        ffn_inner_dim=F,
+    )
+    ours = SonarSpeechEncoder(ocfg)
+    params = {
+        "encoder_frontend": {
+            "post_extract_layer_norm": ln("feature_projection.layer_norm"),
+            "model_dim_proj": lin("feature_projection.projection"),
+        },
+        "encoder": {"layers": stack_layers(layers)},
+        "layer_norm": ln("encoder.layer_norm"),
+        "encoder_pooler": ours.init_params(jax.random.PRNGKey(0))["encoder_pooler"],
+    }
+    rng = np.random.default_rng(0)
+    fbank = (rng.normal(size=(2, 40, MEL)) * 0.5).astype(np.float32)
+    stacked = fbank.reshape(2, 20, 2 * MEL)
+    with torch.no_grad():
+        hidden = henc.feature_projection(torch.tensor(stacked))
+        want = henc.encoder(hidden).last_hidden_state.numpy()
+    got = np.asarray(ours.apply(params, jnp.asarray(fbank)).encoded_seqs)
+    np.testing.assert_allclose(got, want, atol=5e-5)
