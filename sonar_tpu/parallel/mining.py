@@ -242,3 +242,36 @@ def xsim_pp(
     pred = scores.argmax(axis=1)
     err = (pred != np.arange(sim.shape[0])).mean()
     return float(err * 100.0)
+
+
+def sharded_xsim_pp(
+    x: np.ndarray,
+    y: np.ndarray,
+    y_distractors: np.ndarray,
+    mesh: Mesh,
+    k: int = 4,
+    margin: str = "ratio",
+    axis: str = "data",
+) -> float:
+    """Mesh-scaled xsim++: the xsim protocol with distractor targets
+    appended to the candidate bank (same top-k margin approximation as
+    ``sharded_xsim``; asserted against dense ``xsim_pp`` in tests)."""
+    y_all = np.concatenate([np.asarray(y), np.asarray(y_distractors)], axis=0)
+    xq = jnp.asarray(x, jnp.float32)
+    yq = jnp.asarray(y_all, jnp.float32)
+    s_xy, i_xy = sharded_cosine_topk(xq, yq, k, mesh, axis)
+    s_yx, _ = sharded_cosine_topk(yq, xq, k, mesh, axis)
+    avg_x = np.asarray(s_xy).mean(axis=1)
+    avg_y = np.asarray(s_yx).mean(axis=1)
+    scores = np.asarray(s_xy)
+    idx = np.asarray(i_xy)
+    if margin == "ratio":
+        m = scores / ((avg_x[:, None] + avg_y[idx]) / 2.0)
+    elif margin == "distance":
+        m = scores - (avg_x[:, None] + avg_y[idx]) / 2.0
+    elif margin == "absolute":
+        m = scores
+    else:
+        raise ValueError(f"unknown margin: {margin}")
+    pred = idx[np.arange(len(idx)), m.argmax(axis=1)]
+    return float((pred != np.arange(len(idx))).mean() * 100.0)

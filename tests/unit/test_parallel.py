@@ -242,3 +242,23 @@ def test_mesh_sharded_int8_encode_matches_single_device():
             model, params, quantize=True, mesh=mesh
         ).encode_batch(batch)
     np.testing.assert_allclose(sharded, single, atol=2e-4)
+
+
+def test_sharded_xsim_pp_matches_dense():
+    from sonar_tpu.parallel.mining import sharded_xsim_pp, xsim_pp
+
+    rng = np.random.default_rng(0)
+    n, d = 48, 16
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    x = base + 0.05 * rng.normal(size=(n, d)).astype(np.float32)
+    y = base + 0.05 * rng.normal(size=(n, d)).astype(np.float32)
+    distractors = rng.normal(size=(16, d)).astype(np.float32)
+    # corrupt a few rows so the error rate is nonzero
+    y[:4] = rng.normal(size=(4, d)).astype(np.float32)
+
+    dense = xsim_pp(x, y, distractors)
+    mesh = make_mesh(data=8, model=1)
+    with mesh:
+        sharded = sharded_xsim_pp(x, y, distractors, mesh)
+    assert sharded == dense
+    assert dense > 0.0
