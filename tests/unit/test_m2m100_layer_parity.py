@@ -259,3 +259,56 @@ def test_full_conditional_decoder_matches_m2m100_decoder():
         ours.forward(params, jnp.asarray(seqs), jnp.asarray(lens), jnp.asarray(mem))
     )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_post_norm_decoder_layer_matches_marian():
+    """The POST-norm decoder layer variant (used by the speech ATTENTION
+    POOLERS: `decoder_norm_order="post"`, fairseq TransformerNormOrder.POST)
+    vs HF Marian — the post-LN seq2seq in transformers — with mapped
+    weights and a length-1 memory."""
+    from transformers import MarianConfig
+    from transformers.models.marian.modeling_marian import MarianDecoderLayer
+
+    torch.manual_seed(0)
+    d, s = 32, 7
+    cfg = MarianConfig(
+        d_model=d, decoder_attention_heads=H, decoder_ffn_dim=64,
+        activation_function="relu", dropout=0.0, attention_dropout=0.0,
+        activation_dropout=0.0, attn_implementation="eager",
+    )
+    layer = MarianDecoderLayer(cfg).eval()
+    x = torch.randn(2, s, d) * 0.5
+    mem = torch.randn(2, 1, d) * 0.5
+    causal_t = (
+        torch.full((s, s), float("-inf")).triu(1)[None, None].expand(2, 1, s, s)
+    )
+    with torch.no_grad():
+        want = layer(
+            x, attention_mask=causal_t, encoder_hidden_states=mem
+        )[0].numpy()
+
+    lin, ln = _maps(layer)
+    params = {
+        "self_attn": {"q_proj": lin("self_attn.q_proj"),
+                      "k_proj": lin("self_attn.k_proj"),
+                      "v_proj": lin("self_attn.v_proj"),
+                      "output_proj": lin("self_attn.out_proj")},
+        "self_attn_layer_norm": ln("self_attn_layer_norm"),
+        "encoder_decoder_attn": {"q_proj": lin("encoder_attn.q_proj"),
+                                 "k_proj": lin("encoder_attn.k_proj"),
+                                 "v_proj": lin("encoder_attn.v_proj"),
+                                 "output_proj": lin("encoder_attn.out_proj")},
+        "encoder_decoder_attn_layer_norm": ln("encoder_attn_layer_norm"),
+        "ffn": {"inner_proj": lin("fc1"), "output_proj": lin("fc2")},
+        "ffn_layer_norm": ln("final_layer_norm"),
+    }
+    causal = jnp.where(
+        jnp.arange(s)[None, :] > jnp.arange(s)[:, None], -jnp.inf, 0.0
+    )[None, None]
+    got = np.asarray(
+        decoder_layer(
+            params, jnp.asarray(x.numpy()), causal, jnp.asarray(mem.numpy()),
+            None, H, "relu", "post",
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
