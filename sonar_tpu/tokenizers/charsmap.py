@@ -105,6 +105,14 @@ class _TrieNode:
 def _build_units(root: _TrieNode) -> List[int]:
     units: Dict[int, int] = {0: 0}
     occupied = {0}
+    # Darts readers compute `pos ^ offset ^ label` for ARBITRARY query
+    # labels before checking the unit's stored label — sentencepiece C++
+    # and HF's Rust port do NOT bounds-check that index (the Rust port
+    # panics, C++ would read out of bounds). The array must therefore
+    # cover the whole 256-aligned block around every node's child base;
+    # a compact `max(units)+1` sizing produced blobs that crashed HF's
+    # Precompiled on non-matching lookups (caught by fuzzing).
+    cover: List[int] = [0]
 
     def place(node: _TrieNode, pos: int):
         labels = sorted(node.children)
@@ -125,6 +133,7 @@ def _build_units(root: _TrieNode) -> List[int]:
         has_leaf = 1 if node.value is not None else 0
         label = units.get(pos, 0) & 0xFF  # keep the label set by the parent
         units[pos] = (offset << 10) | (has_leaf << 8) | label
+        cover.append(((pos ^ offset) | 0xFF))
         if node.value is not None:
             units[pos ^ offset ^ 0] = (1 << 31) | node.value
         for c in labels:
@@ -133,7 +142,7 @@ def _build_units(root: _TrieNode) -> List[int]:
             place(node.children[c], child_pos)
 
     place(root, 0)
-    size = max(units) + 1
+    size = max(max(units), max(cover)) + 1
     return [units.get(i, 0) for i in range(size)]
 
 

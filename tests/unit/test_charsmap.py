@@ -71,3 +71,41 @@ def test_spm_model_uses_charsmap(tmp_path):
     # "X" maps to "hello" before segmentation
     assert m.encode_as_pieces("X world") == ["▁hello", "▁world"]
     assert m.encode("a b") == m.encode("a b")
+
+
+def test_built_blob_is_safe_for_unchecked_darts_readers():
+    """Darts readers index `pos ^ offset ^ label` for arbitrary query labels
+    BEFORE comparing the stored label — sentencepiece C++ reads that slot
+    unchecked and HF's Rust port panics if it's past the array. The builder
+    must therefore pad to cover the full 256-aligned block around every
+    node's child base. Regression: {'B': 'GREEK ALPHA'} produced a compact
+    blob whose lookup of 'y'/'z'/multi-byte chars panicked HF (found by
+    fuzzing); our own traversal bounds-checks, so only the builder needed
+    the fix."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers.normalizers import Precompiled
+
+    blob = build_charsmap({"B": "Α"})
+    ours = PrecompiledCharsmap(blob)
+    theirs = Precompiled(blob)
+    for s in ("B", "BB", "aB", "Ba", "ΑB", "xyz", "中B", "~\x7f"):
+        assert ours.normalize(s) == theirs.normalize_str(s), repr(s)
+
+    # randomized confirmation over many tries and non-matching labels
+    import random
+
+    rng = random.Random(0)
+    alph = list("abcdefgh中文日本語Àéü123")
+    for _ in range(40):
+        mapping = {
+            rng.choice(alph): "".join(
+                rng.choice(alph) for _ in range(rng.randint(0, 3))
+            )
+            for _ in range(rng.randint(1, 8))
+        }
+        blob = build_charsmap(mapping)
+        ours = PrecompiledCharsmap(blob)
+        theirs = Precompiled(blob)
+        for _ in range(10):
+            s = "".join(rng.choice(alph) for _ in range(rng.randint(0, 20)))
+            assert ours.normalize(s) == theirs.normalize_str(s), (mapping, s)
