@@ -118,7 +118,10 @@ def cache_filename(url: str) -> str:
     with the repository segment when the basename alone is generic
     (e.g. ``.../blaser-2.0-qe/resolve/main/model.pt`` ->
     ``blaser-2.0-qe-model.pt``)."""
-    parts = [p for p in url.split("://", 1)[-1].split("/")[1:] if p]
+    tail = url.split("://", 1)[-1]
+    parts = [p for p in tail.split("/")[1:] if p]
+    if not parts:  # no path segment: fall back to the hostname
+        return tail.split("/", 1)[0] or "asset"
     name = parts[-1]
     if name in _GENERIC_LEAF_NAMES:
         qual = next(

@@ -156,34 +156,44 @@ def optimal_len_buckets(
     cnt = np.bincount(lens, minlength=top + 1).astype(np.int64)
     pc = np.concatenate([[0], np.cumsum(cnt)])  # pc[j] = count(len < j)
 
-    k = min(k, int((cnt > 0).sum()))
+    # Optimal boundaries only ever sit at OBSERVED lengths (lowering a
+    # boundary to the next observed length below it never increases any
+    # item's padding), except the final boundary which must be `top` so
+    # every input fits — so the DP runs over the <=N unique values, not
+    # all L positions (O(U^2 K) instead of O(L^2 K); L=65536 would cost
+    # a ~34 GB [L, L] table or minutes of chunked loops).
+    vals = np.flatnonzero(cnt).astype(np.int64)     # sorted unique lengths
+    if vals[-1] != top:
+        vals = np.append(vals, top)
+    m = len(vals)
+    k = min(k, m)
+    # count of items with length in (vals[i], vals[j]] = cum[j] - cum[i]
+    cum = np.cumsum(cnt[vals])                      # items with len <= vals[i]
+    cum0 = np.concatenate([[0], cum])               # cum0[i] = items <= vals[i-1]
+
     INF = np.int64(1) << 60
-    # dp[j]: minimal cost covering lengths <= j (boundary at j), current k
-    dp_prev = np.full(top + 1, INF)
+    # dp[i]: minimal cost covering all lengths <= vals[i-1] (i=0: none)
+    dp_prev = np.full(m + 1, INF)
     dp_prev[0] = 0
-    parent = np.zeros((k + 1, top + 1), np.int32)
-    b = np.arange(1, top + 1)                       # candidate boundaries
-    a = np.arange(top)                              # previous boundaries
-    # items in the last bucket (a, b]: count = pc[b+1] - pc[a+1]
-    bucket_counts = pc[None, b + 1] - pc[a + 1, None]   # [A, B]
-    lower = a[:, None] < b[None, :]                 # valid a < b
+    parent = np.zeros((k + 1, m + 1), np.int32)
+    ai = np.arange(m + 1)
     for ki in range(1, k + 1):
-        # costs[a_idx, b_idx] = dp_prev[a] + count(a, b] * b
+        # costs[a, j] = dp_prev[a] + (cum0[j+1] - cum0[a]) * vals[j], a <= j
         costs = np.where(
-            lower & (dp_prev[a, None] < INF),
-            dp_prev[a, None] + bucket_counts * b[None, :],
+            (ai[:, None] <= np.arange(m)[None, :]) & (dp_prev[ai, None] < INF),
+            dp_prev[ai, None] + (cum0[None, 1:] - cum0[ai, None]) * vals[None, :],
             INF,
         )
-        best = np.argmin(costs, axis=0)             # [B]
-        dp_cur = np.full(top + 1, INF)
-        dp_cur[1:] = costs[best, np.arange(top)]
+        best = np.argmin(costs, axis=0)             # [m]
+        dp_cur = np.full(m + 1, INF)
+        dp_cur[1:] = costs[best, np.arange(m)]
         parent[ki, 1:] = best
         dp_prev = dp_cur
 
     bounds = []
-    j, ki = top, k
+    j, ki = m, k
     while j > 0 and ki > 0:
-        bounds.append(int(j))
+        bounds.append(int(vals[j - 1]))
         j = int(parent[ki, j])
         ki -= 1
-    return tuple(sorted(bounds))
+    return tuple(sorted(set(bounds)))

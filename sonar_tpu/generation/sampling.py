@@ -141,6 +141,11 @@ def sample_lax(
     # Force-close unfinished rows with eos, charging the model's EOS
     # logprob (the final step_fn output is each row's next-token
     # distribution) — same forced-final-step semantics as beam search.
+    # The charge uses the SAME temperature scaling as every in-loop score
+    # term, so returned scores stay on one scale.
+    temp = getattr(sampler, "temperature", 1.0)
+    if temp != 1.0:
+        final_logprobs = jax.nn.log_softmax(final_logprobs / temp, axis=-1)
     unfinished = ~state.finished
     tokens = jnp.where(
         (jnp.arange(T)[None, :] == jnp.minimum(state.step, T - 1)) & unfinished[:, None],

@@ -177,6 +177,9 @@ def sharded_xsim(
     """
     xq = jnp.asarray(x, jnp.float32)
     yq = jnp.asarray(y, jnp.float32)
+    # clamp k to both bank sizes (the dense metrics clamp too; an
+    # over-large k would -inf-pad the top-k and poison the averages)
+    k = min(k, xq.shape[0], yq.shape[0])
     # x -> y candidates and neighborhood averages
     s_xy, i_xy = sharded_cosine_topk(xq, yq, k, mesh, axis)   # [N, k]
     s_yx, _ = sharded_cosine_topk(yq, xq, k, mesh, axis)      # [N, k]
@@ -229,19 +232,10 @@ def xsim_pp(
     k: int = 4,
     margin: str = "ratio",
 ) -> float:
-    """xsim++: same protocol with distractor targets appended to y."""
+    """xsim++: the xsim protocol with distractor targets appended to y
+    (a distractor pick is an error like any other wrong index)."""
     y_all = np.concatenate([np.asarray(y), np.asarray(y_distractors)], axis=0)
-    xn = np.asarray(l2_normalize(jnp.asarray(x, jnp.float32)))
-    yn = np.asarray(l2_normalize(jnp.asarray(y_all, jnp.float32)))
-    sim = xn @ yn.T
-    kk = min(k, sim.shape[1])
-    avg_x = np.sort(sim, axis=1)[:, -kk:].mean(axis=1)
-    avg_y = np.sort(sim.T, axis=1)[:, -kk:].mean(axis=1)
-    scores = np.asarray(_margin_scores(jnp.asarray(sim), jnp.asarray(avg_x),
-                                       jnp.asarray(avg_y), margin))
-    pred = scores.argmax(axis=1)
-    err = (pred != np.arange(sim.shape[0])).mean()
-    return float(err * 100.0)
+    return xsim(x, y_all, k=k, margin=margin)
 
 
 def sharded_xsim_pp(
@@ -254,24 +248,8 @@ def sharded_xsim_pp(
     axis: str = "data",
 ) -> float:
     """Mesh-scaled xsim++: the xsim protocol with distractor targets
-    appended to the candidate bank (same top-k margin approximation as
-    ``sharded_xsim``; asserted against dense ``xsim_pp`` in tests)."""
+    appended to the candidate bank (a distractor pick counts as an error
+    exactly like any other wrong index, so this is ``sharded_xsim`` over
+    the extended bank; asserted against dense ``xsim_pp`` in tests)."""
     y_all = np.concatenate([np.asarray(y), np.asarray(y_distractors)], axis=0)
-    xq = jnp.asarray(x, jnp.float32)
-    yq = jnp.asarray(y_all, jnp.float32)
-    s_xy, i_xy = sharded_cosine_topk(xq, yq, k, mesh, axis)
-    s_yx, _ = sharded_cosine_topk(yq, xq, k, mesh, axis)
-    avg_x = np.asarray(s_xy).mean(axis=1)
-    avg_y = np.asarray(s_yx).mean(axis=1)
-    scores = np.asarray(s_xy)
-    idx = np.asarray(i_xy)
-    if margin == "ratio":
-        m = scores / ((avg_x[:, None] + avg_y[idx]) / 2.0)
-    elif margin == "distance":
-        m = scores - (avg_x[:, None] + avg_y[idx]) / 2.0
-    elif margin == "absolute":
-        m = scores
-    else:
-        raise ValueError(f"unknown margin: {margin}")
-    pred = idx[np.arange(len(idx)), m.argmax(axis=1)]
-    return float((pred != np.arange(len(idx))).mean() * 100.0)
+    return sharded_xsim(x, y_all, mesh, k=k, margin=margin, axis=axis)

@@ -93,30 +93,54 @@ class MicroBatcher:
             total += len(item[0])
         return batch
 
+    @staticmethod
+    def _resolve(fut: Future, result=None, exc=None) -> None:
+        """set_result/set_exception tolerant of a concurrent cancel — the
+        check-then-act `if not fut.cancelled()` pattern races with client
+        cancels and an InvalidStateError there would kill the worker."""
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(result)
+        except Exception:
+            pass  # future already cancelled/resolved
+
+    def _process(self, batch) -> None:
+        by_lang: dict = {}
+        for texts, lang, fut in batch:
+            by_lang.setdefault(lang, []).append((texts, fut))
+        for lang, items in by_lang.items():
+            flat = [t for texts, _ in items for t in texts]
+            try:
+                emb = self.pipeline.predict(
+                    flat, source_lang=lang, batching="static"
+                )
+            except Exception as e:
+                for _, fut in items:
+                    self._resolve(fut, exc=e)
+                continue
+            ofs = 0
+            for texts, fut in items:
+                self._resolve(fut, result=emb[ofs : ofs + len(texts)])
+                ofs += len(texts)
+
     def _worker(self) -> None:
         while not self._stop.is_set():
-            batch = self._drain()
-            if not batch:
-                continue
-            by_lang: dict = {}
-            for texts, lang, fut in batch:
-                by_lang.setdefault(lang, []).append((texts, fut))
-            for lang, items in by_lang.items():
-                flat = [t for texts, _ in items for t in texts]
-                try:
-                    emb = self.pipeline.predict(
-                        flat, source_lang=lang, batching="static"
-                    )
-                except Exception as e:
-                    for _, fut in items:
-                        if not fut.cancelled():
-                            fut.set_exception(e)
-                    continue
-                ofs = 0
-                for texts, fut in items:
-                    if not fut.cancelled():
-                        fut.set_result(emb[ofs : ofs + len(texts)])
-                    ofs += len(texts)
+            try:
+                batch = self._drain()
+                if batch:
+                    self._process(batch)
+            except BaseException:  # the single worker must never die
+                logger.exception("micro-batcher iteration failed")
+        # shutdown: fail anything still queued instead of leaving clients
+        # blocked until their full request timeout
+        while True:
+            try:
+                _, _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            self._resolve(fut, exc=RuntimeError("server shutting down"))
 
 
 class EmbeddingServer:
@@ -162,6 +186,8 @@ class EmbeddingServer:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(req, dict):
+                        raise ValueError("request body must be a JSON object")
                     texts = req["texts"]
                     lang = req.get("lang", "eng_Latn")
                     if not isinstance(texts, list) or not all(

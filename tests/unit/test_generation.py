@@ -415,21 +415,22 @@ def test_sampling_score_matches_teacher_forced_recompute():
         jax.random.normal(jax.random.PRNGKey(5), (2, 1, dec.config.model_dim))
     )
     prefix = [eos, 5]
-    tok, sc, lens = runtime.generate_sample(
-        mem, prefix, TopKSampler(k=1), max_gen_len=4
-    )
-    for i in range(2):
-        L = int(lens[i])
-        seq = prefix + tok[i][:L].tolist()
-        assert seq[-1] == eos
-        # teacher-forced recompute of each generated token's logprob
-        arr = np.asarray([seq], np.int32)
-        logits = runtime.score(arr, np.asarray([len(seq)], np.int32),
-                               mem[i : i + 1])
-        lp = np.asarray(
-            jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
-        )[0]
-        want = sum(
-            lp[len(prefix) + g - 1, seq[len(prefix) + g]] for g in range(L)
+    for temp in (1.0, 0.5):
+        tok, sc, lens = runtime.generate_sample(
+            mem, prefix, TopKSampler(k=1, temperature=temp), max_gen_len=4
         )
-        np.testing.assert_allclose(float(sc[i]), want, atol=1e-3), i
+        for i in range(2):
+            L = int(lens[i])
+            seq = prefix + tok[i][:L].tolist()
+            assert seq[-1] == eos
+            # teacher-forced recompute of each generated token's TEMPERED
+            # logprob (the force-close EOS charge must use the same scale)
+            arr = np.asarray([seq], np.int32)
+            logits = runtime.score(arr, np.asarray([len(seq)], np.int32),
+                                   mem[i : i + 1])
+            lp0 = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+            lp = np.asarray(jax.nn.log_softmax(lp0 / temp, axis=-1))[0]
+            want = sum(
+                lp[len(prefix) + g - 1, seq[len(prefix) + g]] for g in range(L)
+            )
+            np.testing.assert_allclose(float(sc[i]), want, atol=1e-3), (temp, i)

@@ -99,3 +99,16 @@ def test_error_paths(server):
         ).read()
     )
     assert health["status"] == "ok"
+
+
+def test_non_object_json_body_is_rejected(server):
+    srv, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.address, [1, 2, 3])  # valid JSON, not an object
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.address, "just a string")
+    assert e.value.code == 400
+    # worker survived the bad requests
+    out = _post(srv.address, {"texts": ["hello"], "lang": "eng_Latn"})
+    assert len(out["embeddings"]) == 1
