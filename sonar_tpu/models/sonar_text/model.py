@@ -160,8 +160,14 @@ class SonarTextEncoder:
         seqs: jnp.ndarray,
         seq_lens: Optional[jnp.ndarray] = None,
         dropout_rng: Optional[jax.Array] = None,
+        stack_fn=None,
     ) -> SonarEncoderOutput:
-        """seqs: [B, S] int32 token ids; seq_lens: [B] or None."""
+        """seqs: [B, S] int32 token ids; seq_lens: [B] or None.
+
+        ``stack_fn(stacked_layer_params, x, bias) -> x`` optionally replaces
+        the default ``lax.scan`` layer stack — the seam the pipeline-parallel
+        executor (`parallel/pipeline.py`) plugs into.
+        """
         cfg = self.config
         dtype = self.dtype
         bias = None
@@ -175,16 +181,19 @@ class SonarTextEncoder:
         x = self.frontend(
             params["encoder_frontend"], seqs, dtype=dtype, dropout_rng=rngs[0]
         )
-        x = encoder_stack(
-            params["encoder"]["layers"],
-            x,
-            bias,
-            cfg.num_encoder_attn_heads,
-            cfg.activation_fn,
-            norm_order="pre",
-            remat=self.remat,
-            unroll=self.scan_unroll,
-        )
+        if stack_fn is not None:
+            x = stack_fn(params["encoder"]["layers"], x, bias)
+        else:
+            x = encoder_stack(
+                params["encoder"]["layers"],
+                x,
+                bias,
+                cfg.num_encoder_attn_heads,
+                cfg.activation_fn,
+                norm_order="pre",
+                remat=self.remat,
+                unroll=self.scan_unroll,
+            )
         if "layer_norm" in params["encoder"]:
             x = layer_norm(params["encoder"]["layer_norm"], x)
         encoded = layer_norm(params["layer_norm"], x)

@@ -1,0 +1,229 @@
+"""GPipe-style pipeline parallelism over the scan-stacked layer axis.
+
+The reference has no parallelism at all (SURVEY §2.4: no torch.distributed /
+NCCL anywhere in /root/reference/sonar). SONAR models fit on one chip, so PP
+is never needed for memory here — it is offered as the third TPU-native
+scale-out axis (after DP and TP, `parallel/mesh.py`) for deployments that
+want to split the 24-layer stack across chips, e.g. to serve many replicas
+of a deep stack at low per-chip HBM footprints.
+
+The design exploits this framework's layer layout: layers are *stacked* on a
+leading L axis and executed with ``lax.scan`` (`nn/transformer.py`), so a
+pipeline stage simply owns a contiguous ``[L/S]`` slice of every stacked
+parameter leaf — ``P('stage')`` on axis 0 — and runs the same
+``encoder_stack`` body on its slice. No parameter reshuffling, no per-stage
+module classes.
+
+Schedule: classic GPipe over ``T = M + S - 1`` ticks inside ``shard_map``.
+Each tick every stage runs its local sub-stack on its current microbatch and
+hands the activation to the next stage with a non-wrapping ``ppermute``
+(XLA lowers it onto ICI neighbours). Bubble fraction = (S-1)/T, so callers
+should pick ``num_microbatches >= num_stages``. The attention bias (padding)
+for a microbatch is not shipped with the activation: every stage holds the
+[M, ...] bias array and indexes it by its current microbatch id — the bias
+is tiny ([mb, 1, 1, S]) next to the activation.
+
+Output collection: each stage accumulates into a local [M, ...] buffer and
+the final ``psum`` merges them (only the last stage contributes non-zeros —
+one clean collective instead of per-tick conditionals). A production variant
+could reduce-scatter instead; for SONAR-sized activations the psum is noise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..nn.transformer import encoder_stack, num_stacked_layers
+
+Params = dict
+
+
+def make_pipeline_mesh(
+    stage: int, data: int = -1, devices: Optional[Sequence] = None
+) -> Mesh:
+    """('data', 'stage') mesh; 'stage' should map to an ICI-contiguous axis."""
+    devs = list(devices if devices is not None else jax.devices())
+    if data == -1:
+        assert len(devs) % stage == 0, (len(devs), stage)
+        data = len(devs) // stage
+    arr = np.asarray(devs[: data * stage]).reshape(data, stage)
+    return Mesh(arr, ("data", "stage"))
+
+
+def pipeline_param_shardings(params, mesh: Mesh):
+    """Stacked encoder layers split over 'stage' on axis 0; rest replicated."""
+
+    def spec_for(path: str, leaf) -> P:
+        if "encoder/layers/" in path and np.ndim(leaf) >= 1:
+            return P("stage")
+        return P()
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    shardings = [
+        NamedSharding(
+            mesh,
+            spec_for(jax.tree_util.keystr(path, simple=True, separator="/"), leaf),
+        )
+        for path, leaf in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, shardings)
+
+
+def _gpipe_loop(
+    local_layers: Params,
+    x: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    *,
+    num_heads: int,
+    activation: str,
+    norm_order: str,
+    n_stages: int,
+    num_microbatches: int,
+):
+    """shard_map body: x is this data-shard's [B_loc, S, D] block; the layer
+    slice in ``local_layers`` is this stage's [L/S, ...] block."""
+    m = num_microbatches
+    b_loc = x.shape[0]
+    assert b_loc % m == 0, (b_loc, m)
+    x_mb = x.reshape(m, b_loc // m, *x.shape[1:])
+    bias_mb = (
+        bias.reshape(m, b_loc // m, *bias.shape[1:]) if bias is not None else None
+    )
+
+    stage = jax.lax.axis_index("stage")
+    perm = [(i, i + 1) for i in range(n_stages - 1)]
+
+    def run_local(h, b):
+        return encoder_stack(local_layers, h, b, num_heads, activation, norm_order)
+
+    def tick(carry, t):
+        recv, outs = carry
+        mb_id = t - stage  # microbatch this stage works on at tick t
+        mb_clip = jnp.clip(mb_id, 0, m - 1)
+        feed = jax.lax.dynamic_index_in_dim(
+            x_mb, jnp.clip(t, 0, m - 1), 0, keepdims=False
+        )
+        cur = jnp.where(stage == 0, feed, recv)
+        b_cur = (
+            jax.lax.dynamic_index_in_dim(bias_mb, mb_clip, 0, keepdims=False)
+            if bias_mb is not None
+            else None
+        )
+        y = run_local(cur, b_cur)
+        # Last stage writes finished microbatches; out-of-range ticks
+        # (pipeline fill/drain) keep the existing slot.
+        valid = (mb_id >= 0) & (mb_id < m) & (stage == n_stages - 1)
+        slot = jax.lax.dynamic_index_in_dim(outs, mb_clip, 0, keepdims=False)
+        outs = jax.lax.dynamic_update_index_in_dim(
+            outs, jnp.where(valid, y, slot), mb_clip, 0
+        )
+        recv_next = jax.lax.ppermute(y, "stage", perm)
+        return (recv_next, outs), None
+
+    init = (jnp.zeros_like(x_mb[0]), jnp.zeros_like(x_mb))
+    (_, outs), _ = jax.lax.scan(tick, init, jnp.arange(m + n_stages - 1))
+    # Only the last stage holds real outputs; merge + replicate across stages.
+    outs = jax.lax.psum(
+        jnp.where(stage == n_stages - 1, outs, jnp.zeros_like(outs)), "stage"
+    )
+    return outs.reshape(b_loc, *x.shape[1:])
+
+
+def pipeline_encoder_stack(
+    stacked_params: Params,
+    x: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    num_heads: int,
+    activation: str,
+    mesh: Mesh,
+    norm_order: str = "pre",
+    num_microbatches: Optional[int] = None,
+):
+    """Drop-in for ``encoder_stack`` that pipelines the L layers over the
+    mesh's 'stage' axis (GPipe schedule, microbatched over the batch dim).
+
+    ``stacked_params`` leaves must have leading dim L divisible by the stage
+    count; the batch must be divisible by (data axis) * num_microbatches.
+    Bitwise-equivalent math to ``encoder_stack`` — stages run the identical
+    layer body on contiguous layer slices, so results match the single-device
+    scan to float-associativity exactness (no reductions are reordered).
+    """
+    n_stages = mesh.shape["stage"]
+    n_layers = num_stacked_layers(stacked_params)
+    if n_stages == 1:
+        return encoder_stack(
+            stacked_params, x, bias, num_heads, activation, norm_order
+        )
+    if n_layers % n_stages != 0:
+        raise ValueError(
+            f"num layers {n_layers} not divisible by stage count {n_stages}"
+        )
+    m = num_microbatches or min(n_stages, x.shape[0])
+    has_data = "data" in mesh.axis_names
+    xspec = P("data") if has_data else P()
+
+    body = partial(
+        _gpipe_loop,
+        num_heads=num_heads,
+        activation=activation,
+        norm_order=norm_order,
+        n_stages=n_stages,
+        num_microbatches=m,
+    )
+    if bias is None:
+        fn = jax.shard_map(
+            lambda p, xx: body(p, xx, None),
+            mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P("stage"), stacked_params), xspec),
+            out_specs=xspec,
+            check_vma=False,
+        )
+        return fn(stacked_params, x)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P("stage"), stacked_params),
+            xspec,
+            xspec,
+        ),
+        out_specs=xspec,
+        check_vma=False,
+    )
+    return fn(stacked_params, x, bias)
+
+
+def pipeline_text_encode(
+    model,
+    params: Params,
+    seqs,
+    seq_lens=None,
+    *,
+    mesh: Mesh,
+    num_microbatches: Optional[int] = None,
+):
+    """Full SonarTextEncoder forward with the layer stack pipelined over the
+    mesh's 'stage' axis; frontend, final LayerNorms and pooling stay
+    data-parallel (they are <1% of the FLOPs). Returns sentence embeddings.
+    """
+    cfg = model.config
+
+    def stack_fn(stacked, x, bias):
+        return pipeline_encoder_stack(
+            stacked,
+            x,
+            bias,
+            cfg.num_encoder_attn_heads,
+            cfg.activation_fn,
+            mesh,
+            norm_order="pre",
+            num_microbatches=num_microbatches,
+        )
+
+    return model.apply(params, seqs, seq_lens, stack_fn=stack_fn).sentence_embeddings
