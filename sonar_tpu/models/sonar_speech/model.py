@@ -116,8 +116,15 @@ class SonarSpeechEncoder:
         params: Params,
         fbank: jnp.ndarray,
         frame_lens: Optional[jnp.ndarray] = None,
+        stack_fn=None,
     ) -> SonarEncoderOutput:
-        """fbank: [B, T, num_mel] float; frame_lens: [B] valid frame counts."""
+        """fbank: [B, T, num_mel] float; frame_lens: [B] valid frame counts.
+
+        ``stack_fn(stacked_layer_params, x, attn_bias, pad_mask) -> x``
+        optionally replaces the default Conformer ``lax.scan`` stack — the
+        seam the sequence-parallel executor (`parallel/sequence.py`) plugs
+        into.
+        """
         cfg = self.config
         if frame_lens is None:
             frame_lens = jnp.full((fbank.shape[0],), fbank.shape[1], jnp.int32)
@@ -126,9 +133,12 @@ class SonarSpeechEncoder:
         s = x.shape[1]
         mask = length_mask(seq_lens, s)
         bias = additive_bias(mask)[:, None, None, :]
-        x = conformer_stack(
-            params["encoder"]["layers"], x, bias, mask, cfg.conformer
-        )
+        if stack_fn is not None:
+            x = stack_fn(params["encoder"]["layers"], x, bias, mask)
+        else:
+            x = conformer_stack(
+                params["encoder"]["layers"], x, bias, mask, cfg.conformer
+            )
         encoded = layer_norm(params["layer_norm"], x)
 
         pooled = self._attention_pool(params["encoder_pooler"], encoded, seq_lens)

@@ -129,6 +129,79 @@ def _use_relpos_kernel(x, bias, s: int, hd: int) -> bool:
     return _ATTENTION_IMPL == "auto" and jax.default_backend() == "tpu"
 
 
+def rel_pos_qkv(params: Params, x: jnp.ndarray, num_heads: int):
+    """Project [B, S, D] -> per-head q, k, v [B, H, S, hd]."""
+    q = _split_heads(linear(params["q_proj"], x), num_heads)
+    k = _split_heads(linear(params["k_proj"], x), num_heads)
+    v = _split_heads(linear(params["v_proj"], x), num_heads)
+    return q, k, v
+
+
+def rel_pos_attend_xla(
+    params: Params,
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    si: jnp.ndarray,
+    ci: jnp.ndarray,
+    basis: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    cfg: ConformerConfig,
+) -> jnp.ndarray:
+    """Trig-factored Transformer-XL attention core (the XLA lowering).
+
+    Generalized to Sq != Skv so the sequence-parallel executor
+    (`parallel/sequence.py`) can run local query rows against gathered
+    K/V: q is [B, H, Sq, hd] at global positions whose sin/cos rotations
+    are ``si``/``ci`` [Sq, D/2]; k/v are [B, H, Skv, hd] with ``basis``
+    [Skv, D] the j-side cos|sin basis; bias broadcasts over
+    [B, H, Sq, Skv]. Returns the attention output [B, Sq, D] after
+    ``output_proj``. Math identical to the in-place path below."""
+    d = cfg.model_dim
+    h, hd = cfg.num_heads, cfg.head_dim
+    half = d // 2
+    acc_t = jnp.float32 if q.dtype == jnp.float32 else q.dtype
+    u = params["sdpa"]["u_bias"].astype(q.dtype)
+    vb = params["sdpa"]["v_bias"].astype(q.dtype)
+    deint = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+
+    wr = params["sdpa"]["r_proj"]["kernel"].astype(acc_t)      # [D, D]
+    qv = (q + vb[None, :, None, :]).astype(acc_t)
+    z = jnp.einsum(
+        "bhid,Dhd->bhiD", qv, wr.reshape(d, h, hd)[deint],
+        preferred_element_type=acc_t,
+    )                                                          # [B,H,Sq,D]
+    z_s, z_c = z[..., :half], z[..., half:]
+    si, ci = si.astype(acc_t), ci.astype(acc_t)
+    w_rot = jnp.concatenate(
+        [z_s * si + z_c * ci, z_c * si - z_s * ci], axis=-1
+    )                                                          # [B,H,Sq,D]
+    bd = jnp.einsum(
+        "bhiD,jD->bhij", w_rot, basis.astype(acc_t), preferred_element_type=acc_t
+    )
+    ac = jnp.einsum(
+        "bhid,bhjd->bhij", q + u[None, :, None, :], k,
+        preferred_element_type=acc_t,
+    )
+    scores = (ac + bd) * (1.0 / np.sqrt(hd))
+    if bias is not None:
+        scores = scores + bias.astype(scores.dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhij,bhjd->bhid", probs, v, preferred_element_type=jnp.float32)
+    return linear(params["output_proj"], _merge_heads(out.astype(q.dtype)))
+
+
+def rel_pos_sin_cos_basis(seq_len: int, dim: int):
+    """(si, ci, basis): the [S, D/2] sin/cos i-rotations and the [S, D]
+    cos|sin j-basis of the trig factorization, as float32 numpy arrays."""
+    pos = np.arange(seq_len, dtype=np.float64)
+    args = pos[:, None] * _rel_inv_freq(dim)[None, :]          # [S, D/2]
+    si = np.sin(args).astype(np.float32)
+    ci = np.cos(args).astype(np.float32)
+    basis = np.concatenate([ci, si], axis=-1)                  # [S, D]
+    return si, ci, basis
+
+
 def rel_pos_attention(
     params: Params,
     x: jnp.ndarray,
@@ -139,19 +212,13 @@ def rel_pos_attention(
     score(i,j) = (q_i+u)k_j + (q_i+v)r_{i-j}, scaled by 1/sqrt(head_dim)."""
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
-    q = _split_heads(linear(params["q_proj"], x), h)           # [B,H,S,hd]
-    k = _split_heads(linear(params["k_proj"], x), h)
-    v = _split_heads(linear(params["v_proj"], x), h)
-
-    u = params["sdpa"]["u_bias"].astype(x.dtype)               # [H, hd]
-    vb = params["sdpa"]["v_bias"].astype(x.dtype)
+    q, k, v = rel_pos_qkv(params, x, h)                        # [B,H,S,hd]
 
     # Score intermediates follow the compute dtype: in bf16 serving mode the
     # [B,H,S,S] tensors dominate HBM traffic at speech lengths, and bf16
     # halves it (MXU still accumulates fp32 internally; softmax runs fp32).
     # fp32 models keep fp32 end to end.
-    acc_t = jnp.float32 if x.dtype == jnp.float32 else x.dtype
-
+    #
     # Positional term WITHOUT materializing [B, H, S, 2S-1] or rel-shifting:
     # the table rows are sinusoids, so the trig addition identities factor
     # r(i-j) into an i-rotation applied to a j-basis:
@@ -168,16 +235,11 @@ def rel_pos_attention(
     # arithmetic; fp32 agreement with the brute-force oracle ~1e-6
     # (tests/unit/test_speech.py::test_rel_pos_attention_shift_correctness)
     # and with HF's torch w2v-BERT layer (test_conformer_hf_parity.py).
-    half = d // 2
-    pos = np.arange(s, dtype=np.float64)
-    args = pos[:, None] * _rel_inv_freq(d)[None, :]            # [S, half]
-    si = jnp.asarray(np.sin(args), acc_t)
-    ci = jnp.asarray(np.cos(args), acc_t)
-    basis = jnp.concatenate([ci, si], axis=-1)                 # [S, 2*half]
     # The factorization works on a half-split [sin-facing | cos-facing]
     # layout; with the interleaved table the r_proj input columns are
-    # permuted accordingly (even table columns first).
-    deint = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    # permuted accordingly (even table columns first) — see
+    # ``rel_pos_attend_xla``.
+    si, ci, basis = rel_pos_sin_cos_basis(s, d)
 
     if _use_relpos_kernel(x, bias, s, hd):
         # Fully fused kernel: the trig-factored bd is built per q-block in
@@ -188,44 +250,21 @@ def rel_pos_attention(
             relpos_flash_attention_v2,
         )
 
+        deint = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+        u = params["sdpa"]["u_bias"].astype(x.dtype)
+        vb = params["sdpa"]["v_bias"].astype(x.dtype)
         wrh = (
             params["sdpa"]["r_proj"]["kernel"]
             .reshape(d, h, hd).transpose(1, 0, 2)[:, deint, :].astype(x.dtype)
         )                                                      # [H, D, hd]
         key_bias = None if bias is None else bias[:, 0, 0, :].astype(jnp.float32)
         out = relpos_flash_attention_v2(
-            q, k, v, wrh, si.astype(x.dtype), ci.astype(x.dtype),
-            basis.astype(x.dtype), u, vb, key_bias,
+            q, k, v, wrh, jnp.asarray(si, x.dtype), jnp.asarray(ci, x.dtype),
+            jnp.asarray(basis, x.dtype), u, vb, key_bias,
         )
         return linear(params["output_proj"], _merge_heads(out))
 
-    wr = params["sdpa"]["r_proj"]["kernel"].astype(acc_t)      # [D, D]
-    qv = (q + vb[None, :, None, :]).astype(acc_t)
-    # permute the weight's table-facing axis (not the activations: a
-    # stride-2 lane slice on [B,H,S,D] would force a relayout on TPU)
-    z = jnp.einsum(
-        "bhid,Dhd->bhiD", qv, wr.reshape(d, h, hd)[deint],
-        preferred_element_type=acc_t,
-    )                                                          # [B,H,S,D]
-    z_s, z_c = z[..., :half], z[..., half:]
-    w_rot = jnp.concatenate(
-        [z_s * si + z_c * ci, z_c * si - z_s * ci], axis=-1
-    )                                                          # [B,H,S,2*half]
-    bd = jnp.einsum(
-        "bhiD,jD->bhij", w_rot, basis, preferred_element_type=acc_t
-    )
-
-    ac = jnp.einsum(
-        "bhid,bhjd->bhij", q + u[None, :, None, :], k,
-        preferred_element_type=acc_t,
-    )
-    scores = (ac + bd) * (1.0 / np.sqrt(hd))
-    if bias is not None:
-        scores = scores + bias.astype(scores.dtype)
-    # fp32 softmax statistics regardless of the score dtype.
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhij,bhjd->bhid", probs, v, preferred_element_type=jnp.float32)
-    return linear(params["output_proj"], _merge_heads(out.astype(x.dtype)))
+    return rel_pos_attend_xla(params, q, k, v, si, ci, basis, bias, cfg)
 
 
 # ---------------------------------------------------------------------------

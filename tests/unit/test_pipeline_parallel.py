@@ -119,6 +119,39 @@ def test_pp_full_text_encode_matches_single_device():
     assert sh["layer_norm"]["weight"].spec == jax.sharding.PartitionSpec()
 
 
+def test_pp_grads_match_scan():
+    """The GPipe loop is differentiable (ppermute/scan/where all transpose),
+    so PP works for training too: grads w.r.t. params AND inputs must match
+    the single-device scan stack to fp32 noise."""
+    model, params = _toy(4)
+    cfg = model.config
+    stacked = params["encoder"]["layers"]
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(8, 6, cfg.model_dim)), jnp.float32
+    )
+    mesh = make_pipeline_mesh(stage=4, data=2)
+
+    def loss_ref(p, xx):
+        return jnp.sum(
+            encoder_stack(p, xx, None, cfg.num_encoder_attn_heads,
+                          cfg.activation_fn, "pre") ** 2
+        )
+
+    def loss_pp(p, xx):
+        return jnp.sum(
+            pipeline_encoder_stack(
+                p, xx, None, cfg.num_encoder_attn_heads, cfg.activation_fn,
+                mesh, num_microbatches=4,
+            ) ** 2
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(stacked, x)
+    g_pp = jax.grad(loss_pp, argnums=(0, 1))(stacked, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(b, a, atol=1e-3 * max(1.0, np.abs(a).max() * 1e-2))
+
+
 def test_pp_rejects_indivisible_layers():
     model, params = _toy(4)
     cfg = model.config
