@@ -78,29 +78,28 @@ def pipeline_param_shardings(params, mesh: Mesh):
 def _gpipe_loop(
     local_layers: Params,
     x: jnp.ndarray,
-    bias: Optional[jnp.ndarray],
-    *,
-    num_heads: int,
-    activation: str,
-    norm_order: str,
+    *aux: jnp.ndarray,
+    run_local,
     n_stages: int,
     num_microbatches: int,
 ):
     """shard_map body: x is this data-shard's [B_loc, S, D] block; the layer
-    slice in ``local_layers`` is this stage's [L/S, ...] block."""
+    slice in ``local_layers`` is this stage's [L/S, ...] block.
+
+    ``run_local(local_layers, h, *aux_mb)`` executes the stage's sub-stack
+    on one microbatch; each element of ``aux`` is a per-sequence array
+    (leading batch dim, e.g. an attention bias or pad mask) that is
+    microbatched alongside x but never shipped between stages — every stage
+    holds the [M, ...] array and indexes it by its current microbatch id
+    (they are tiny next to the activation)."""
     m = num_microbatches
     b_loc = x.shape[0]
     assert b_loc % m == 0, (b_loc, m)
     x_mb = x.reshape(m, b_loc // m, *x.shape[1:])
-    bias_mb = (
-        bias.reshape(m, b_loc // m, *bias.shape[1:]) if bias is not None else None
-    )
+    aux_mb = tuple(a.reshape(m, b_loc // m, *a.shape[1:]) for a in aux)
 
     stage = jax.lax.axis_index("stage")
     perm = [(i, i + 1) for i in range(n_stages - 1)]
-
-    def run_local(h, b):
-        return encoder_stack(local_layers, h, b, num_heads, activation, norm_order)
 
     def tick(carry, t):
         recv, outs = carry
@@ -110,12 +109,11 @@ def _gpipe_loop(
             x_mb, jnp.clip(t, 0, m - 1), 0, keepdims=False
         )
         cur = jnp.where(stage == 0, feed, recv)
-        b_cur = (
-            jax.lax.dynamic_index_in_dim(bias_mb, mb_clip, 0, keepdims=False)
-            if bias_mb is not None
-            else None
+        aux_cur = tuple(
+            jax.lax.dynamic_index_in_dim(a, mb_clip, 0, keepdims=False)
+            for a in aux_mb
         )
-        y = run_local(cur, b_cur)
+        y = run_local(local_layers, cur, *aux_cur)
         # Last stage writes finished microbatches; out-of-range ticks
         # (pipeline fill/drain) keep the existing slot.
         valid = (mb_id >= 0) & (mb_id < m) & (stage == n_stages - 1)
@@ -133,6 +131,37 @@ def _gpipe_loop(
         jnp.where(stage == n_stages - 1, outs, jnp.zeros_like(outs)), "stage"
     )
     return outs.reshape(b_loc, *x.shape[1:])
+
+
+def _pipeline_call(
+    stacked_params: Params,
+    x: jnp.ndarray,
+    aux: tuple,
+    run_local,
+    mesh: Mesh,
+    n_stages: int,
+    num_microbatches: int,
+):
+    has_data = "data" in mesh.axis_names
+    xspec = P("data") if has_data else P()
+    body = partial(
+        _gpipe_loop,
+        run_local=run_local,
+        n_stages=n_stages,
+        num_microbatches=num_microbatches,
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P("stage"), stacked_params),
+            xspec,
+            *([xspec] * len(aux)),
+        ),
+        out_specs=xspec,
+        check_vma=False,
+    )
+    return fn(stacked_params, x, *aux)
 
 
 def pipeline_encoder_stack(
@@ -165,38 +194,53 @@ def pipeline_encoder_stack(
             f"num layers {n_layers} not divisible by stage count {n_stages}"
         )
     m = num_microbatches or min(n_stages, x.shape[0])
-    has_data = "data" in mesh.axis_names
-    xspec = P("data") if has_data else P()
 
-    body = partial(
-        _gpipe_loop,
-        num_heads=num_heads,
-        activation=activation,
-        norm_order=norm_order,
-        n_stages=n_stages,
-        num_microbatches=m,
-    )
     if bias is None:
-        fn = jax.shard_map(
-            lambda p, xx: body(p, xx, None),
-            mesh=mesh,
-            in_specs=(jax.tree.map(lambda _: P("stage"), stacked_params), xspec),
-            out_specs=xspec,
-            check_vma=False,
+        def run_local(layers, h):
+            return encoder_stack(layers, h, None, num_heads, activation, norm_order)
+
+        return _pipeline_call(stacked_params, x, (), run_local, mesh, n_stages, m)
+
+    def run_local(layers, h, b):
+        return encoder_stack(layers, h, b, num_heads, activation, norm_order)
+
+    return _pipeline_call(stacked_params, x, (bias,), run_local, mesh, n_stages, m)
+
+
+def pipeline_conformer_stack(
+    stacked_params: Params,
+    x: jnp.ndarray,
+    attn_bias: Optional[jnp.ndarray],
+    pad_mask: Optional[jnp.ndarray],
+    cfg,
+    mesh: Mesh,
+    num_microbatches: Optional[int] = None,
+):
+    """Drop-in for ``nn.conformer.conformer_stack`` that pipelines the
+    Conformer blocks over the mesh's 'stage' axis (same GPipe schedule as
+    the text stack; the bias/pad-mask ride along per microbatch)."""
+    from ..nn.conformer import conformer_stack
+
+    n_stages = mesh.shape["stage"]
+    n_layers = num_stacked_layers(stacked_params)
+    if n_stages == 1:
+        return conformer_stack(stacked_params, x, attn_bias, pad_mask, cfg)
+    if n_layers % n_stages != 0:
+        raise ValueError(
+            f"num layers {n_layers} not divisible by stage count {n_stages}"
         )
-        return fn(stacked_params, x)
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(
-            jax.tree.map(lambda _: P("stage"), stacked_params),
-            xspec,
-            xspec,
-        ),
-        out_specs=xspec,
-        check_vma=False,
-    )
-    return fn(stacked_params, x, bias)
+    m = num_microbatches or min(n_stages, x.shape[0])
+
+    aux = tuple(a for a in (attn_bias, pad_mask) if a is not None)
+    has_bias, has_mask = attn_bias is not None, pad_mask is not None
+
+    def run_local(layers, h, *aux_mb):
+        it = iter(aux_mb)
+        b = next(it) if has_bias else None
+        mk = next(it) if has_mask else None
+        return conformer_stack(layers, h, b, mk, cfg)
+
+    return _pipeline_call(stacked_params, x, aux, run_local, mesh, n_stages, m)
 
 
 def pipeline_text_encode(
@@ -227,3 +271,26 @@ def pipeline_text_encode(
         )
 
     return model.apply(params, seqs, seq_lens, stack_fn=stack_fn).sentence_embeddings
+
+
+def pipeline_speech_encode(
+    model,
+    params: Params,
+    fbank,
+    frame_lens=None,
+    *,
+    mesh: Mesh,
+    num_microbatches: Optional[int] = None,
+):
+    """Full SonarSpeechEncoder forward with the Conformer stack pipelined
+    over the mesh's 'stage' axis; frontend, workaround LayerNorm and the
+    attention pooler stay data-parallel. Returns the SonarEncoderOutput."""
+    cfg = model.config
+
+    def stack_fn(stacked, x, bias, mask):
+        return pipeline_conformer_stack(
+            stacked, x, bias, mask, cfg.conformer, mesh,
+            num_microbatches=num_microbatches,
+        )
+
+    return model.apply(params, fbank, frame_lens, stack_fn=stack_fn)

@@ -119,6 +119,88 @@ def test_pp_full_text_encode_matches_single_device():
     assert sh["layer_norm"]["weight"].spec == jax.sharding.PartitionSpec()
 
 
+def test_pp_conformer_stack_matches_scan():
+    """The generalized GPipe loop also drives the Conformer stack (PP for
+    the speech encoder): bias + pad mask ride along per microbatch."""
+    from sonar_tpu.nn.conformer import ConformerConfig, conformer_stack, init_conformer_stack
+    from sonar_tpu.ops.masks import additive_bias, length_mask
+    from sonar_tpu.parallel.pipeline import pipeline_conformer_stack
+
+    cfg = ConformerConfig(
+        model_dim=64, num_layers=4, num_heads=4, ffn_inner_dim=128,
+        depthwise_kernel_size=7,
+    )
+    stacked = init_conformer_stack(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    b, s = 8, 12
+    x = jnp.asarray(rng.normal(size=(b, s, cfg.model_dim)), jnp.float32)
+    lens = jnp.asarray(rng.integers(s // 2, s + 1, size=(b,)), jnp.int32)
+    mask = length_mask(lens, s)
+    bias = additive_bias(mask)[:, None, None, :]
+
+    want = conformer_stack(stacked, x, bias, mask, cfg)
+    mesh = make_pipeline_mesh(stage=4, data=2)
+    got = pipeline_conformer_stack(
+        stacked, x, bias, mask, cfg, mesh, num_microbatches=4
+    )
+    # Microbatch shapes differ from the full batch, so XLA may pick
+    # different reduction tilings — associativity noise only.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pp_full_speech_encode_matches_single_device():
+    from sonar_tpu.models.sonar_speech import (
+        SonarSpeechEncoder,
+        sonar_speech_encoder_archs,
+    )
+    from sonar_tpu.parallel.pipeline import pipeline_speech_encode
+
+    cfg = sonar_speech_encoder_archs.get("toy")
+    model = SonarSpeechEncoder(cfg)
+    params = model.init_params(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(2)
+    fbank = jnp.asarray(
+        rng.normal(size=(8, 40, cfg.frontend.num_fbank_channels)), jnp.float32
+    )
+    lens = jnp.asarray(rng.integers(20, 41, size=(8,)), jnp.int32)
+
+    want = model.apply(params, fbank, lens)
+    mesh = make_pipeline_mesh(stage=2, data=4)
+    placed = jax.device_put(params, pipeline_param_shardings(params, mesh))
+    got = pipeline_speech_encode(model, placed, fbank, lens, mesh=mesh,
+                                 num_microbatches=2)
+    np.testing.assert_allclose(
+        np.asarray(got.sentence_embeddings),
+        np.asarray(want.sentence_embeddings),
+        atol=1e-5,
+    )
+
+
+def test_pp_bf16_stack():
+    """bf16 activations through the pipeline (serving dtype): matches the
+    single-device bf16 scan to bf16 resolution."""
+    model, params = _toy(4)
+    cfg = model.config
+    stacked = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16), params["encoder"]["layers"]
+    )
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(8, 10, cfg.model_dim)), jnp.bfloat16
+    )
+    want = encoder_stack(
+        stacked, x, None, cfg.num_encoder_attn_heads, cfg.activation_fn, "pre"
+    )
+    mesh = make_pipeline_mesh(stage=4, data=2)
+    got = pipeline_encoder_stack(
+        stacked, x, None, cfg.num_encoder_attn_heads, cfg.activation_fn,
+        mesh, num_microbatches=4,
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2
+    )
+
+
 def test_pp_grads_match_scan():
     """The GPipe loop is differentiable (ppermute/scan/where all transpose),
     so PP works for training too: grads w.r.t. params AND inputs must match
