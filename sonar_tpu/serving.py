@@ -1,8 +1,8 @@
-"""Minimal production-style embedding server with request micro-batching.
+"""Minimal production-style model server with request micro-batching.
 
 The serving-side counterpart the reference leaves to its users: concurrent
-HTTP requests are coalesced by a background batcher into one
-``TextToEmbeddingModelPipeline.predict`` call (static shape buckets +
+HTTP requests are coalesced by background batchers into one pipeline
+``predict`` call per (endpoint, key) group (static shape buckets +
 dispatch stacking do the TPU-side work), so per-request latency amortizes
 the per-dispatch cost instead of paying it per sentence.
 
@@ -12,8 +12,12 @@ SONAR serving traffic. See ``examples/serving_demo.py`` / the unit test
 for end-to-end use.
 
 API:
-    POST /embed   {"texts": ["...", ...], "lang": "eng_Latn"}
+    POST /embed         {"texts": ["...", ...], "lang": "eng_Latn"}
         -> {"embeddings": [[...], ...], "dim": D}
+    POST /translate     {"texts": [...], "source_lang": "...", "target_lang": "..."}
+        -> {"translations": ["...", ...]}          (if a translator is configured)
+    POST /embed_speech  {"audios": [[...16 kHz floats...], ...]}
+        -> {"embeddings": [[...], ...], "dim": D}  (if a speech encoder is configured)
     GET  /healthz -> {"status": "ok", "pending": N}
 """
 
@@ -25,7 +29,7 @@ import queue
 import threading
 from concurrent.futures import Future
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -33,31 +37,32 @@ logger = logging.getLogger(__name__)
 
 
 class MicroBatcher:
-    """Coalesce concurrent embed requests into batched predict calls.
+    """Coalesce concurrent requests into batched predict calls.
 
-    Requests enqueue (texts, lang, future); a single worker drains up to
-    ``max_sentences`` sentences, waiting at most ``max_wait_ms`` after the
-    first arrival so a lone request is never stalled for long. Each drain
-    groups by language (one predict per language) and resolves futures.
+    Requests enqueue (items, key, future); a single worker drains up to
+    ``max_items`` items, waiting at most ``max_wait_ms`` after the first
+    arrival so a lone request is never stalled for long. Each drain groups
+    by key (one ``predict_fn(flat_items, key)`` per key) and resolves
+    futures with each request's slice of the results.
     """
 
     def __init__(
         self,
-        pipeline,
-        max_sentences: int = 256,
+        predict_fn: Callable[[List, object], Sequence],
+        max_items: int = 256,
         max_wait_ms: float = 5.0,
     ):
-        self.pipeline = pipeline
-        self.max_sentences = max_sentences
+        self.predict_fn = predict_fn
+        self.max_items = max_items
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, texts: Sequence[str], lang: str) -> Future:
+    def submit(self, items: Sequence, key=None) -> Future:
         fut: Future = Future()
-        self._q.put((list(texts), lang, fut))
+        self._q.put((list(items), key, fut))
         return fut
 
     @property
@@ -70,7 +75,7 @@ class MicroBatcher:
 
     # -- worker ---------------------------------------------------------------
 
-    def _drain(self) -> List[Tuple[List[str], str, Future]]:
+    def _drain(self) -> List[Tuple[List, object, Future]]:
         try:
             first = self._q.get(timeout=0.1)
         except queue.Empty:
@@ -81,7 +86,7 @@ class MicroBatcher:
         import time
 
         t0 = time.monotonic()
-        while total < self.max_sentences:
+        while total < self.max_items:
             remaining = deadline - (time.monotonic() - t0)
             if remaining <= 0:
                 break
@@ -107,23 +112,21 @@ class MicroBatcher:
             pass  # future already cancelled/resolved
 
     def _process(self, batch) -> None:
-        by_lang: dict = {}
-        for texts, lang, fut in batch:
-            by_lang.setdefault(lang, []).append((texts, fut))
-        for lang, items in by_lang.items():
-            flat = [t for texts, _ in items for t in texts]
+        by_key: dict = {}
+        for items, key, fut in batch:
+            by_key.setdefault(key, []).append((items, fut))
+        for key, group in by_key.items():
+            flat = [t for items, _ in group for t in items]
             try:
-                emb = self.pipeline.predict(
-                    flat, source_lang=lang, batching="static"
-                )
+                out = self.predict_fn(flat, key)
             except Exception as e:
-                for _, fut in items:
+                for _, fut in group:
                     self._resolve(fut, exc=e)
                 continue
             ofs = 0
-            for texts, fut in items:
-                self._resolve(fut, result=emb[ofs : ofs + len(texts)])
-                ofs += len(texts)
+            for items, fut in group:
+                self._resolve(fut, result=out[ofs : ofs + len(items)])
+                ofs += len(items)
 
     def _worker(self) -> None:
         while not self._stop.is_set():
@@ -144,7 +147,14 @@ class MicroBatcher:
 
 
 class EmbeddingServer:
-    """HTTP wrapper around a MicroBatcher; see module docstring for the API."""
+    """HTTP wrapper around per-endpoint MicroBatchers; see module docstring.
+
+    ``pipeline`` is a ``TextToEmbeddingModelPipeline`` (serves /embed);
+    optional ``translator`` (``TextToTextModelPipeline``) enables
+    /translate, batched per (source_lang, target_lang); optional
+    ``speech_pipeline`` (``SpeechToEmbeddingModelPipeline``) enables
+    /embed_speech for raw 16 kHz waveforms.
+    """
 
     def __init__(
         self,
@@ -154,8 +164,36 @@ class EmbeddingServer:
         max_sentences: int = 256,
         max_wait_ms: float = 5.0,
         request_timeout_s: float = 120.0,
+        translator=None,
+        speech_pipeline=None,
     ):
-        self.batcher = MicroBatcher(pipeline, max_sentences, max_wait_ms)
+        self.batcher = MicroBatcher(
+            lambda texts, lang: pipeline.predict(
+                texts, source_lang=lang, batching="static"
+            ),
+            max_sentences,
+            max_wait_ms,
+        )
+        self.translate_batcher = (
+            MicroBatcher(
+                lambda texts, langs: translator.predict(
+                    texts, source_lang=langs[0], target_lang=langs[1]
+                ),
+                max_sentences,
+                max_wait_ms,
+            )
+            if translator is not None
+            else None
+        )
+        self.speech_batcher = (
+            MicroBatcher(
+                lambda audios, _key: speech_pipeline.predict(audios),
+                max_sentences,
+                max_wait_ms,
+            )
+            if speech_pipeline is not None
+            else None
+        )
         self.request_timeout_s = request_timeout_s
         server = self
 
@@ -173,46 +211,94 @@ class EmbeddingServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._reply(
-                        200, {"status": "ok", "pending": server.batcher.pending}
+                    pending = server.batcher.pending + sum(
+                        b.pending
+                        for b in (server.translate_batcher, server.speech_batcher)
+                        if b is not None
                     )
+                    self._reply(200, {"status": "ok", "pending": pending})
                 else:
                     self._reply(404, {"error": "unknown path"})
 
+            def _read_json_object(self) -> dict:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
+                return req
+
+            def _await(self, fut):
+                return fut.result(timeout=server.request_timeout_s)
+
+            def _texts_of(self, req: dict) -> list:
+                texts = req["texts"]
+                if not isinstance(texts, list) or not all(
+                    isinstance(t, str) for t in texts
+                ):
+                    raise ValueError("'texts' must be a list of strings")
+                return texts
+
             def do_POST(self):
-                if self.path != "/embed":
-                    self._reply(404, {"error": "unknown path"})
-                    return
                 try:
-                    n = int(self.headers.get("Content-Length", "0"))
-                    req = json.loads(self.rfile.read(n) or b"{}")
-                    if not isinstance(req, dict):
-                        raise ValueError("request body must be a JSON object")
-                    texts = req["texts"]
-                    lang = req.get("lang", "eng_Latn")
-                    if not isinstance(texts, list) or not all(
-                        isinstance(t, str) for t in texts
-                    ):
-                        raise ValueError("'texts' must be a list of strings")
-                except (KeyError, ValueError, json.JSONDecodeError) as e:
-                    self._reply(400, {"error": str(e)})
-                    return
-                if not texts:
-                    self._reply(200, {"embeddings": [], "dim": 0})
-                    return
-                fut = server.batcher.submit(texts, lang)
-                try:
-                    emb = fut.result(timeout=server.request_timeout_s)
+                    req = self._read_json_object()
+                    if self.path == "/embed":
+                        texts = self._texts_of(req)
+                        lang = req.get("lang", "eng_Latn")
+                        if not texts:
+                            self._reply(200, {"embeddings": [], "dim": 0})
+                            return
+                        fut = server.batcher.submit(texts, lang)
+                        emb = self._await(fut)
+                        self._reply(
+                            200,
+                            {
+                                "embeddings": np.asarray(emb, np.float32).tolist(),
+                                "dim": int(np.asarray(emb).shape[-1]),
+                            },
+                        )
+                    elif self.path == "/translate":
+                        if server.translate_batcher is None:
+                            self._reply(404, {"error": "no translator configured"})
+                            return
+                        texts = self._texts_of(req)
+                        langs = (req["source_lang"], req["target_lang"])
+                        if not texts:
+                            self._reply(200, {"translations": []})
+                            return
+                        fut = server.translate_batcher.submit(texts, langs)
+                        self._reply(200, {"translations": list(self._await(fut))})
+                    elif self.path == "/embed_speech":
+                        if server.speech_batcher is None:
+                            self._reply(
+                                404, {"error": "no speech encoder configured"}
+                            )
+                            return
+                        audios = req["audios"]
+                        if not isinstance(audios, list) or not all(
+                            isinstance(a, list) and a for a in audios
+                        ):
+                            raise ValueError(
+                                "'audios' must be a list of non-empty float lists"
+                            )
+                        if not audios:
+                            self._reply(200, {"embeddings": [], "dim": 0})
+                            return
+                        waves = [np.asarray(a, np.float32) for a in audios]
+                        fut = server.speech_batcher.submit(waves)
+                        emb = self._await(fut)
+                        self._reply(
+                            200,
+                            {
+                                "embeddings": np.asarray(emb, np.float32).tolist(),
+                                "dim": int(np.asarray(emb).shape[-1]),
+                            },
+                        )
+                    else:
+                        self._reply(404, {"error": "unknown path"})
+                except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
                 except Exception as e:  # model/tokenizer errors -> 400
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
-                    return
-                self._reply(
-                    200,
-                    {
-                        "embeddings": np.asarray(emb, np.float32).tolist(),
-                        "dim": int(np.asarray(emb).shape[-1]),
-                    },
-                )
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self._serve_thread: Optional[threading.Thread] = None
@@ -234,3 +320,6 @@ class EmbeddingServer:
         if self._serve_thread is not None:
             self._serve_thread.join(timeout=5)
         self.batcher.close()
+        for b in (self.translate_batcher, self.speech_batcher):
+            if b is not None:
+                b.close()

@@ -101,6 +101,111 @@ def test_error_paths(server):
     assert health["status"] == "ok"
 
 
+@pytest.fixture(scope="module")
+def full_server(tmp_path_factory):
+    """Server with all three endpoints: text embed, translate, speech embed."""
+    import dataclasses
+
+    from sonar_tpu import TextToTextModelPipeline
+    from sonar_tpu.inference_pipelines.speech import (
+        JitSpeechEncoder,
+        SpeechToEmbeddingModelPipeline,
+    )
+    from sonar_tpu.models.sonar_speech import (
+        SonarSpeechEncoder,
+        sonar_speech_encoder_archs,
+    )
+    from sonar_tpu.models.sonar_text import sonar_text_decoder_archs
+    from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
+    from sonar_tpu.ops.fbank import FbankConfig
+
+    tok = build_toy_nllb(tmp_path_factory.mktemp("fullsrv"))
+    enc_cfg = dataclasses.replace(
+        sonar_text_encoder_archs.get("toy"),
+        vocab_info=dataclasses.replace(
+            sonar_text_encoder_archs.get("toy").vocab_info, size=len(tok.model)
+        ),
+    )
+    dec_cfg = dataclasses.replace(
+        sonar_text_decoder_archs.get("toy"),
+        vocab_info=dataclasses.replace(
+            sonar_text_decoder_archs.get("toy").vocab_info, size=len(tok.model)
+        ),
+    )
+    enc = SonarTextEncoder(enc_cfg)
+    enc_bundle = (enc, enc.init_params(jax.random.PRNGKey(0)))
+    dec = ConditionalTransformerDecoder(dec_cfg)
+    dec_bundle = (dec, dec.init_params(jax.random.PRNGKey(1)))
+
+    embed_pipe = TextToEmbeddingModelPipeline(encoder=enc_bundle, tokenizer=tok)
+    t2t = TextToTextModelPipeline(
+        encoder=enc_bundle, decoder=dec_bundle, tokenizer=tok
+    )
+    speech_model = SonarSpeechEncoder(sonar_speech_encoder_archs.get("toy"))
+    speech_enc = JitSpeechEncoder(
+        speech_model,
+        speech_model.init_params(jax.random.PRNGKey(2)),
+        fbank_config=FbankConfig(num_mel_bins=8),
+    )
+    speech_pipe = SpeechToEmbeddingModelPipeline(encoder=speech_enc)
+
+    srv = EmbeddingServer(
+        embed_pipe, max_wait_ms=10, translator=t2t, speech_pipeline=speech_pipe
+    ).start()
+    yield srv, t2t, speech_pipe
+    srv.stop()
+
+
+def test_translate_endpoint(full_server):
+    srv, t2t, _ = full_server
+    texts = ["hello world", "my name is paul"]
+    out = _post(
+        srv.address,
+        {"texts": texts, "source_lang": "eng_Latn", "target_lang": "fra_Latn"},
+        path="/translate",
+    )
+    want = t2t.predict(texts, source_lang="eng_Latn", target_lang="fra_Latn")
+    assert out["translations"] == list(want)
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.address, {"texts": texts}, path="/translate")  # missing langs
+    assert e.value.code == 400
+
+
+def test_embed_speech_endpoint(full_server):
+    srv, _, speech_pipe = full_server
+    rng = np.random.default_rng(0)
+    waves = [
+        (rng.normal(size=6000) * 0.1).astype(np.float32),
+        (rng.normal(size=9000) * 0.1).astype(np.float32),
+    ]
+    out = _post(
+        srv.address, {"audios": [w.tolist() for w in waves]}, path="/embed_speech"
+    )
+    want = speech_pipe.predict(waves)
+    got = np.asarray(out["embeddings"], np.float32)
+    assert out["dim"] == want.shape[1]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.address, {"audios": "nope"}, path="/embed_speech")
+    assert e.value.code == 400
+
+
+def test_unconfigured_endpoints_404(server):
+    srv, _ = server  # plain embed-only server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(
+            srv.address,
+            {"texts": ["x"], "source_lang": "eng_Latn", "target_lang": "fra_Latn"},
+            path="/translate",
+        )
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.address, {"audios": [[0.1, 0.2]]}, path="/embed_speech")
+    assert e.value.code == 404
+
+
 def test_non_object_json_body_is_rejected(server):
     srv, _ = server
     with pytest.raises(urllib.error.HTTPError) as e:
