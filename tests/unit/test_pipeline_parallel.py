@@ -234,6 +234,28 @@ def test_pp_grads_match_scan():
         np.testing.assert_allclose(b, a, atol=1e-3 * max(1.0, np.abs(a).max() * 1e-2))
 
 
+def test_pp_int8_quantized_params():
+    """int8 serving params (kernel_q + scale leaves) are stacked on the same
+    leading L axis, so they stage-shard and pipeline like fp params."""
+    from sonar_tpu.ops.quantization import quantize_params_int8
+
+    model, params = _toy(4)
+    cfg = model.config
+    qstacked = quantize_params_int8(params["encoder"]["layers"])
+    x = jnp.asarray(
+        np.random.default_rng(9).normal(size=(8, 10, cfg.model_dim)), jnp.float32
+    )
+    want = encoder_stack(
+        qstacked, x, None, cfg.num_encoder_attn_heads, cfg.activation_fn, "pre"
+    )
+    mesh = make_pipeline_mesh(stage=4, data=2)
+    got = pipeline_encoder_stack(
+        qstacked, x, None, cfg.num_encoder_attn_heads, cfg.activation_fn,
+        mesh, num_microbatches=4,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_pp_rejects_indivisible_layers():
     model, params = _toy(4)
     cfg = model.config

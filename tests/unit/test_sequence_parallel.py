@@ -118,6 +118,28 @@ def test_sp_rejects_indivisible_and_bad_bias():
         sequence_conformer_stack(stacked, x2, bad_bias, mask2, cfg, mesh)
 
 
+def test_sp_grads_match_single_device():
+    """all_gather/ppermute/dynamic_slice all transpose, so SP is usable for
+    fine-tuning: grads w.r.t. params and inputs match the single-device
+    stack to fp32 noise."""
+    cfg = _toy_cfg(num_layers=2)
+    stacked = init_conformer_stack(jax.random.PRNGKey(5), cfg)
+    x, mask, bias = _inputs(2, 16, cfg.model_dim, seed=6)
+    mesh = make_seq_mesh(seq=4, data=2)
+
+    def loss_ref(p, xx):
+        return jnp.sum(conformer_stack(p, xx, bias, mask, cfg) ** 2)
+
+    def loss_sp(p, xx):
+        return jnp.sum(sequence_conformer_stack(p, xx, bias, mask, cfg, mesh) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(stacked, x)
+    g_sp = jax.grad(loss_sp, argnums=(0, 1))(stacked, x)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sp)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(b, a, atol=1e-3 * max(1.0, np.abs(a).max() * 1e-2))
+
+
 def test_sp_seq1_falls_back():
     cfg = _toy_cfg()
     stacked = init_conformer_stack(jax.random.PRNGKey(0), cfg)
