@@ -15,7 +15,7 @@ external tooling. SONAR-TPU implements it natively, TPU-first:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -236,6 +236,98 @@ def xsim_pp(
     (a distractor pick is an error like any other wrong index)."""
     y_all = np.concatenate([np.asarray(y), np.asarray(y_distractors)], axis=0)
     return xsim(x, y_all, k=k, margin=margin)
+
+
+def mine_bitexts(
+    x: np.ndarray,
+    y: np.ndarray,
+    k: int = 4,
+    margin: str = "ratio",
+    strategy: str = "intersection",
+    threshold: Optional[float] = None,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+    approx: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """LASER-style margin-based bitext mining over the SONAR space.
+
+    SONAR's primary downstream use (its embeddings power the NLLB/SeamlessM4T
+    mining pipelines); the reference repo delegates extraction to external
+    LASER tooling — here it is native and mesh-scalable. Candidates come
+    from cosine top-k in both directions (sharded over ``mesh``'s ``axis``
+    when given, blocked single-device otherwise; ``approx=True`` uses the
+    TPU-native ``approx_max_k`` per block), margin scores follow the LASER
+    definition (ratio/distance/absolute over k-NN-average neighborhoods),
+    and pairs are selected by ``strategy``:
+
+    - ``'forward'``: each x row proposes its best-margin y candidate,
+    - ``'backward'``: each y row proposes its best-margin x candidate,
+    - ``'intersection'``: mutual best matches only (highest precision),
+    - ``'union'``: forward + backward pairs, deduplicated keeping the max
+      score (highest recall).
+
+    Returns ``(src_idx, tgt_idx, scores)`` sorted by descending margin
+    score; ``threshold`` filters to ``score >= threshold``.
+    """
+    if strategy not in ("forward", "backward", "intersection", "union"):
+        raise ValueError(f"unknown strategy: {strategy}")
+    xq = jnp.asarray(x, jnp.float32)
+    yq = jnp.asarray(y, jnp.float32)
+    k = min(k, xq.shape[0], yq.shape[0])
+
+    if mesh is not None:
+        s_xy, i_xy = sharded_cosine_topk(xq, yq, k, mesh, axis)
+        s_yx, i_yx = sharded_cosine_topk(yq, xq, k, mesh, axis)
+    else:
+        s_xy, i_xy = cosine_topk(xq, yq, k, approx=approx)
+        s_yx, i_yx = cosine_topk(yq, xq, k, approx=approx)
+    s_xy, i_xy = np.asarray(s_xy), np.asarray(i_xy)
+    s_yx, i_yx = np.asarray(s_yx), np.asarray(i_yx)
+    avg_x = s_xy.mean(axis=1)                            # [Nx]
+    avg_y = s_yx.mean(axis=1)                            # [Ny]
+
+    def best(scores, idx, avg_q, avg_b):
+        """Per-query best margin candidate among its cosine top-k."""
+        if margin == "ratio":
+            m = scores / ((avg_q[:, None] + avg_b[idx]) / 2.0)
+        elif margin == "distance":
+            m = scores - (avg_q[:, None] + avg_b[idx]) / 2.0
+        elif margin == "absolute":
+            m = scores
+        else:
+            raise ValueError(f"unknown margin: {margin}")
+        pick = m.argmax(axis=1)
+        rows = np.arange(len(idx))
+        return idx[rows, pick], m[rows, pick]
+
+    fwd_j, fwd_s = best(s_xy, i_xy, avg_x, avg_y)        # x_i -> y_{fwd_j[i]}
+    bwd_i, bwd_s = best(s_yx, i_yx, avg_y, avg_x)        # y_j -> x_{bwd_i[j]}
+
+    nx, ny = len(fwd_j), len(bwd_i)
+    if strategy == "forward":
+        src, tgt, sc = np.arange(nx), fwd_j, fwd_s
+    elif strategy == "backward":
+        src, tgt, sc = bwd_i, np.arange(ny), bwd_s
+    elif strategy == "intersection":
+        mutual = bwd_i[fwd_j] == np.arange(nx)
+        src = np.arange(nx)[mutual]
+        tgt, sc = fwd_j[mutual], fwd_s[mutual]
+    else:  # union
+        src = np.concatenate([np.arange(nx), bwd_i])
+        tgt = np.concatenate([fwd_j, np.arange(ny)])
+        sc = np.concatenate([fwd_s, bwd_s])
+        # dedup (src, tgt) keeping the max score
+        key = src.astype(np.int64) * max(ny, 1) + tgt
+        order = np.lexsort((-sc, key))
+        key, src, tgt, sc = key[order], src[order], tgt[order], sc[order]
+        keep = np.concatenate([[True], key[1:] != key[:-1]])
+        src, tgt, sc = src[keep], tgt[keep], sc[keep]
+
+    if threshold is not None:
+        keep = sc >= threshold
+        src, tgt, sc = src[keep], tgt[keep], sc[keep]
+    order = np.argsort(-sc, kind="stable")
+    return src[order].astype(np.int64), tgt[order].astype(np.int64), sc[order]
 
 
 def sharded_xsim_pp(

@@ -262,3 +262,115 @@ def test_sharded_xsim_pp_matches_dense():
         sharded = sharded_xsim_pp(x, y, distractors, mesh)
     assert sharded == dense
     assert dense > 0.0
+
+
+# -- bitext mining -----------------------------------------------------------
+
+def _mine_oracle(x, y, k, margin, strategy):
+    """Dense-similarity oracle following the same LASER protocol as
+    mine_bitexts (k-NN averages and margin argmax over the cosine top-k)."""
+    from sonar_tpu.parallel.mining import l2_normalize
+
+    xn = np.asarray(l2_normalize(jnp.asarray(x, jnp.float32)))
+    yn = np.asarray(l2_normalize(jnp.asarray(y, jnp.float32)))
+    sim = xn @ yn.T
+    kk = min(k, sim.shape[0], sim.shape[1])
+    top_xy = np.argsort(-sim, axis=1, kind="stable")[:, :kk]
+    top_yx = np.argsort(-sim.T, axis=1, kind="stable")[:, :kk]
+    avg_x = np.take_along_axis(sim, top_xy, axis=1).mean(axis=1)
+    avg_y = np.take_along_axis(sim.T, top_yx, axis=1).mean(axis=1)
+
+    def margin_of(s, aq, ab):
+        if margin == "ratio":
+            return s / ((aq + ab) / 2.0)
+        if margin == "distance":
+            return s - (aq + ab) / 2.0
+        return s
+
+    fwd = {}
+    for i in range(sim.shape[0]):
+        cands = [(margin_of(sim[i, j], avg_x[i], avg_y[j]), j) for j in top_xy[i]]
+        m, j = max(cands)
+        fwd[i] = (j, m)
+    bwd = {}
+    for j in range(sim.shape[1]):
+        cands = [(margin_of(sim[i, j], avg_y[j], avg_x[i]), i) for i in top_yx[j]]
+        m, i = max(cands)
+        bwd[j] = (i, m)
+
+    pairs = {}
+    if strategy in ("forward", "union", "intersection"):
+        for i, (j, m) in fwd.items():
+            if strategy == "intersection" and bwd[j][0] != i:
+                continue
+            pairs[(i, j)] = max(pairs.get((i, j), -np.inf), m)
+    if strategy in ("backward", "union"):
+        for j, (i, m) in bwd.items():
+            pairs[(i, j)] = max(pairs.get((i, j), -np.inf), m)
+    return pairs
+
+
+@pytest.mark.parametrize("strategy", ["forward", "backward", "intersection", "union"])
+@pytest.mark.parametrize("margin", ["ratio", "distance", "absolute"])
+def test_mine_bitexts_matches_dense_oracle(strategy, margin):
+    from sonar_tpu.parallel.mining import mine_bitexts
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(17, 24)).astype(np.float32)
+    y = rng.normal(size=(23, 24)).astype(np.float32)
+    src, tgt, sc = mine_bitexts(x, y, k=4, margin=margin, strategy=strategy)
+    want = _mine_oracle(x, y, 4, margin, strategy)
+    got = {(int(i), int(j)): float(s) for i, j, s in zip(src, tgt, sc)}
+    assert set(got) == set(want)
+    for key in got:
+        np.testing.assert_allclose(got[key], want[key], atol=1e-5)
+    # sorted by descending score
+    assert all(sc[i] >= sc[i + 1] for i in range(len(sc) - 1))
+
+
+def test_mine_bitexts_recovers_parallel_corpus():
+    """Clean parallel data + noise: intersection mining recovers the identity
+    alignment; a threshold drops the deliberately-broken pair."""
+    from sonar_tpu.parallel.mining import mine_bitexts
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(32, 64)).astype(np.float32)
+    x = base + 0.01 * rng.normal(size=base.shape).astype(np.float32)
+    y = base + 0.01 * rng.normal(size=base.shape).astype(np.float32)
+    y[7] = rng.normal(size=64).astype(np.float32)  # break one pair
+    src, tgt, sc = mine_bitexts(x, y, k=4, strategy="intersection")
+    aligned = dict(zip(src.tolist(), tgt.tolist()))
+    for i in range(32):
+        if i != 7:
+            assert aligned.get(i) == i
+    # the broken pair scores at the bottom if matched at all; thresholding
+    # at the lowest true-pair score removes it
+    true_scores = [s for i, s in zip(src.tolist(), sc) if i != 7]
+    src2, tgt2, _ = mine_bitexts(
+        x, y, k=4, strategy="intersection", threshold=min(true_scores)
+    )
+    assert 7 not in src2.tolist() or aligned.get(7) == 7
+
+
+def test_mine_bitexts_sharded_matches_single_device():
+    from sonar_tpu.parallel.mining import mine_bitexts
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(24, 32)).astype(np.float32)
+    y = rng.normal(size=(40, 32)).astype(np.float32)
+    mesh1d = jax.sharding.Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    for strategy in ("forward", "intersection", "union"):
+        a = mine_bitexts(x, y, k=3, strategy=strategy)
+        b = mine_bitexts(x, y, k=3, strategy=strategy, mesh=mesh1d)
+        for u, v in zip(a, b):
+            np.testing.assert_allclose(u, v, atol=1e-5)
+
+
+def test_mine_bitexts_rejects_unknown():
+    from sonar_tpu.parallel.mining import mine_bitexts
+
+    x = np.eye(4, 8, dtype=np.float32)
+    with pytest.raises(ValueError, match="strategy"):
+        mine_bitexts(x, x, strategy="nope")
+    with pytest.raises(ValueError, match="margin"):
+        mine_bitexts(x, x, margin="nope")
