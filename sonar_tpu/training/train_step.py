@@ -6,6 +6,10 @@ SONAR-TPU makes training a first-class, mesh-sharded capability:
 
 - ``translation_loss``: teacher-forced cross-entropy of the conditional
   decoder on (source -> embedding -> target) — the SONAR objective shape,
+- ``distillation_loss``: teacher-student embedding regression — the recipe
+  that produced the published speech encoders (each is trained to match
+  the frozen text space; arXiv:2308.11466 §4, evident in the reference's
+  37-language per-encoder card set),
 - ``classifier_loss``: MLP-head fine-tuning on pooled embeddings,
 - ``make_train_step``: optax update jitted over a (data, model) mesh with
   donated state; GSPMD handles DP gradients (psum over ``data``) and TP
@@ -71,6 +75,41 @@ def translation_loss(
         jnp.arange(batch["tgt_out"].shape[1])[None, :] < batch["tgt_lens"][:, None]
     )
     return cross_entropy(logits, batch["tgt_out"], mask)
+
+
+def distillation_loss(
+    student_encoder,   # any SONAR encoder module (speech or text)
+    params,
+    batch: Dict[str, jnp.ndarray],
+    dropout_rng: Optional[jax.Array] = None,
+    *,
+    objective: str = "mse",
+) -> jnp.ndarray:
+    """Teacher-student embedding distillation into a frozen SONAR space.
+
+    How the published speech encoders were produced: a student encoder
+    (e.g. a w2v-BERT Conformer for a new language) is trained so its pooled
+    sentence embedding matches the teacher embedding of the transcript
+    computed once by the frozen text encoder. Extending SONAR to a new
+    speech language is exactly this loss plus transcribed audio.
+
+    batch: ``inputs`` (fbank [B, T, C] for speech students, token ids
+    [B, S] for text students), ``lens`` [B], ``teacher_emb`` [B, D]
+    (precomputed, treated as constant). ``objective``: ``'mse'`` (the
+    SONAR recipe) or ``'cosine'`` (1 − cosine, scale-invariant variant).
+    """
+    kwargs = {"dropout_rng": dropout_rng} if dropout_rng is not None else {}
+    emb = student_encoder.apply(
+        params, batch["inputs"], batch["lens"], **kwargs
+    ).sentence_embeddings.astype(jnp.float32)
+    teacher = jax.lax.stop_gradient(batch["teacher_emb"].astype(jnp.float32))
+    if objective == "mse":
+        return jnp.mean(jnp.sum(jnp.square(emb - teacher), axis=-1))
+    if objective == "cosine":
+        dot = jnp.sum(emb * teacher, axis=-1)
+        denom = jnp.linalg.norm(emb, axis=-1) * jnp.linalg.norm(teacher, axis=-1)
+        return jnp.mean(1.0 - dot / jnp.maximum(denom, 1e-9))
+    raise ValueError(f"unknown objective: {objective}")
 
 
 def classifier_loss(
