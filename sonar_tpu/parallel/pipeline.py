@@ -173,9 +173,12 @@ def pipeline_encoder_stack(
     mesh: Mesh,
     norm_order: str = "pre",
     num_microbatches: Optional[int] = None,
+    remat: bool = False,
 ):
     """Drop-in for ``encoder_stack`` that pipelines the L layers over the
     mesh's 'stage' axis (GPipe schedule, microbatched over the batch dim).
+    ``remat=True`` rematerializes each stage's layer bodies on the backward
+    pass (PP fine-tuning memory knob, same as the single-device stack).
 
     ``stacked_params`` leaves must have leading dim L divisible by the stage
     count; the batch must be divisible by (data axis) * num_microbatches.
@@ -197,12 +200,16 @@ def pipeline_encoder_stack(
 
     if bias is None:
         def run_local(layers, h):
-            return encoder_stack(layers, h, None, num_heads, activation, norm_order)
+            return encoder_stack(
+                layers, h, None, num_heads, activation, norm_order, remat=remat
+            )
 
         return _pipeline_call(stacked_params, x, (), run_local, mesh, n_stages, m)
 
     def run_local(layers, h, b):
-        return encoder_stack(layers, h, b, num_heads, activation, norm_order)
+        return encoder_stack(
+            layers, h, b, num_heads, activation, norm_order, remat=remat
+        )
 
     return _pipeline_call(stacked_params, x, (bias,), run_local, mesh, n_stages, m)
 
@@ -215,6 +222,7 @@ def pipeline_conformer_stack(
     cfg,
     mesh: Mesh,
     num_microbatches: Optional[int] = None,
+    remat: bool = False,
 ):
     """Drop-in for ``nn.conformer.conformer_stack`` that pipelines the
     Conformer blocks over the mesh's 'stage' axis (same GPipe schedule as
@@ -224,7 +232,9 @@ def pipeline_conformer_stack(
     n_stages = mesh.shape["stage"]
     n_layers = num_stacked_layers(stacked_params)
     if n_stages == 1:
-        return conformer_stack(stacked_params, x, attn_bias, pad_mask, cfg)
+        return conformer_stack(
+            stacked_params, x, attn_bias, pad_mask, cfg, remat=remat
+        )
     if n_layers % n_stages != 0:
         raise ValueError(
             f"num layers {n_layers} not divisible by stage count {n_stages}"
@@ -238,7 +248,7 @@ def pipeline_conformer_stack(
         it = iter(aux_mb)
         b = next(it) if has_bias else None
         mk = next(it) if has_mask else None
-        return conformer_stack(layers, h, b, mk, cfg)
+        return conformer_stack(layers, h, b, mk, cfg, remat=remat)
 
     return _pipeline_call(stacked_params, x, aux, run_local, mesh, n_stages, m)
 

@@ -227,11 +227,22 @@ def test_pp_grads_match_scan():
             ) ** 2
         )
 
+    def loss_pp_remat(p, xx):
+        return jnp.sum(
+            pipeline_encoder_stack(
+                p, xx, None, cfg.num_encoder_attn_heads, cfg.activation_fn,
+                mesh, num_microbatches=4, remat=True,
+            ) ** 2
+        )
+
     g_ref = jax.grad(loss_ref, argnums=(0, 1))(stacked, x)
-    g_pp = jax.grad(loss_pp, argnums=(0, 1))(stacked, x)
-    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
-        a, b = np.asarray(a), np.asarray(b)
-        np.testing.assert_allclose(b, a, atol=1e-3 * max(1.0, np.abs(a).max() * 1e-2))
+    for fn in (loss_pp, loss_pp_remat):
+        g_pp = jax.grad(fn, argnums=(0, 1))(stacked, x)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
+            a, b = np.asarray(a), np.asarray(b)
+            np.testing.assert_allclose(
+                b, a, atol=1e-3 * max(1.0, np.abs(a).max() * 1e-2)
+            )
 
 
 def test_pp_int8_quantized_params():
