@@ -74,6 +74,29 @@ class DataPipelineBuilder:
                             n_inflight -= 1
         return DataPipelineBuilder(gen)
 
+    def map_batched(
+        self, fn: Callable[[List[Any]], Sequence[Any]], batch_size: int = 1024
+    ) -> "DataPipelineBuilder":
+        """Apply ``fn`` to chunks of up to ``batch_size`` elements and yield
+        its results element-wise. The streaming equivalent of
+        ``map(fn_single)`` for functions with an efficient batch form —
+        e.g. the native tokenizer's ``encode_batch``, which normalizes and
+        Viterbi-segments a whole chunk in ONE GIL-releasing C++ call with
+        an internal thread pool."""
+        src = self._source
+
+        def gen():
+            buf: List[Any] = []
+            for item in src():
+                buf.append(item)
+                if len(buf) == batch_size:
+                    yield from fn(buf)
+                    buf = []
+            if buf:
+                yield from fn(buf)
+
+        return DataPipelineBuilder(gen)
+
     def filter(self, pred: Callable[[Any], bool]) -> "DataPipelineBuilder":
         src = self._source
 

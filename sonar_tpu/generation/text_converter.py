@@ -86,7 +86,11 @@ class TextTranslator:
         self.collater = Collater(pad, len_buckets=DEFAULT_LEN_BUCKETS)
 
     def batch_translate(self, texts: Sequence[str]) -> List[str]:
-        token_lists = [self.source_encoder(t) for t in texts]
+        encode_batch = getattr(self.source_encoder, "encode_batch", None)
+        if encode_batch is not None:  # one GIL-releasing native call
+            token_lists = encode_batch(texts)
+        else:
+            token_lists = [self.source_encoder(t) for t in texts]
         max_len = self.encoder.max_source_len
         token_lists = [ids[:max_len] for ids in token_lists]
         batch = self.collater(token_lists)

@@ -241,6 +241,21 @@ def _resolve_tokenizer(tokenizer):
     return tokenizer
 
 
+def _map_tokenize(builder, tokenizer_encoder):
+    """Tokenize stage: batched native fast path when the encoder has one.
+
+    ``encode_batch`` normalizes + Viterbi-segments a whole chunk in one
+    GIL-releasing C++ call (internal thread pool) — the host-side
+    throughput fix that keeps tokenization ahead of the chip's encode rate
+    (scripts/bench_host_tokenize.py). Falls back to per-element ``map`` for
+    plain-callable encoders (tests, custom tokenizers).
+    """
+    encode_batch = getattr(tokenizer_encoder, "encode_batch", None)
+    if encode_batch is None:
+        return builder.map(tokenizer_encoder)
+    return builder.map_batched(encode_batch, batch_size=1024)
+
+
 class TextToEmbeddingModelPipeline:
     """Texts -> [N, model_dim] sentence embeddings.
 
@@ -327,7 +342,9 @@ class TextToEmbeddingModelPipeline:
                 len_buckets=_static_len_buckets_for(max_seq_len),
                 tokens_per_batch=batch_max_tokens or 8192,
             )
-            tokens = builder.map(tokenizer_encoder).map(truncate).and_return()
+            tokens = (
+                _map_tokenize(builder, tokenizer_encoder).map(truncate).and_return()
+            )
             with precision_context(self.model.dtype):
                 # Windowed drain: a few hundred batches at a time keeps the
                 # dispatch-stacking benefit (dispatch_stack ~8 per shape)
@@ -335,8 +352,21 @@ class TextToEmbeddingModelPipeline:
                 # batches grows without bound on very large corpora.
                 from itertools import islice
 
+                from sonar_tpu.data.pipeline import read_iterator
+
                 window = _STATIC_ENCODE_WINDOW
-                it = batcher.batches(iter(tokens), yield_indices=True)
+                # Prefetch thread: tokenization (GIL-free native batch
+                # calls) + bucketing + pad-collation run in the background
+                # while encode_batches blocks on the device — without this
+                # the host stages serialize with chip time and cap
+                # end-to-end throughput at host_rate*chip_rate/(host+chip).
+                it = iter(
+                    read_iterator(
+                        lambda: batcher.batches(iter(tokens), yield_indices=True)
+                    )
+                    .prefetch(64)
+                    .and_return()
+                )
                 embs, positions = [], []
                 while True:
                     pairs = list(islice(it, window))
@@ -357,7 +387,7 @@ class TextToEmbeddingModelPipeline:
         collater = Collater(pad_idx, len_buckets=_len_buckets_for(max_seq_len))
 
         pipeline = (
-            builder.map(tokenizer_encoder)
+            _map_tokenize(builder, tokenizer_encoder)
             .map(truncate)
             .dynamic_bucket(
                 batch_max_tokens or 2**31,

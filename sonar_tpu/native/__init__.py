@@ -84,6 +84,34 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
+        lib.spm_set_normalizer.restype = ctypes.c_int32
+        lib.spm_set_normalizer.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+        ]
+        lib.spm_normalize.restype = ctypes.c_int32
+        lib.spm_normalize.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.c_char_p,
+            ctypes.c_int32,
+        ]
+        lib.spm_encode_batch.restype = ctypes.c_int32
+        lib.spm_encode_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ]
+        lib.spm_free_ids.argtypes = [ctypes.POINTER(ctypes.c_int32)]
+        lib.spm_free_offsets.argtypes = [ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
         return _lib
 
@@ -206,6 +234,7 @@ class NativeSpmEncoder:
         )
         self._out_cap = 4096
         self._out = (ctypes.c_int32 * self._out_cap)()
+        self._normalizer_set = False
 
     def encode_normalized(self, text: str):
         data = text.encode("utf-8")
@@ -217,6 +246,79 @@ class NativeSpmEncoder:
                 return list(self._out[:n])
             self._out_cap *= 4
             self._out = (ctypes.c_int32 * self._out_cap)()
+
+    def set_normalizer(
+        self,
+        charsmap: bytes,
+        remove_extra_whitespaces: bool,
+        add_dummy_prefix: bool,
+        escape_whitespaces: bool,
+    ) -> None:
+        """Install the C++ normalizer (precompiled charsmap or identity +
+        whitespace phase). Raises on a malformed charsmap blob."""
+        flags = (
+            (1 if remove_extra_whitespaces else 0)
+            | (2 if add_dummy_prefix else 0)
+            | (4 if escape_whitespaces else 0)
+        )
+        rc = self._lib.spm_set_normalizer(
+            self._handle, charsmap or None, len(charsmap or b""), flags
+        )
+        if rc != 0:
+            raise ValueError("malformed precompiled charsmap blob")
+        self._normalizer_set = True
+
+    @property
+    def normalizer_set(self) -> bool:
+        return self._normalizer_set
+
+    def normalize(self, text: str) -> str:
+        """Run the installed C++ normalizer (testing seam)."""
+        data = text.encode("utf-8")
+        cap = 4 * len(data) + 16
+        while True:
+            buf = ctypes.create_string_buffer(cap)
+            n = self._lib.spm_normalize(self._handle, data, len(data), buf, cap)
+            if n == -2:
+                raise RuntimeError("normalizer not installed")
+            if n >= 0:
+                return buf.raw[:n].decode("utf-8", errors="replace")
+            cap *= 4
+
+    def encode_batch(self, texts, pre_normalized: bool, num_threads: int):
+        """Tokenize a batch in one GIL-releasing native call.
+
+        Returns a list of id lists. ``pre_normalized=False`` runs the
+        installed C++ normalizer per string (``set_normalizer`` first).
+        """
+        blobs = [t.encode("utf-8") for t in texts]
+        n = len(blobs)
+        offsets = (ctypes.c_int64 * (n + 1))()
+        pos = 0
+        for i, b in enumerate(blobs):
+            offsets[i] = pos
+            pos += len(b)
+        offsets[n] = pos
+        data = b"".join(blobs)
+        out_ids = ctypes.POINTER(ctypes.c_int32)()
+        out_offs = ctypes.POINTER(ctypes.c_int64)()
+        rc = self._lib.spm_encode_batch(
+            self._handle, data, offsets, n,
+            0 if pre_normalized else 1, num_threads,
+            ctypes.byref(out_ids), ctypes.byref(out_offs),
+        )
+        if rc == -2:
+            raise RuntimeError("normalizer not installed")
+        if rc != 0:
+            raise MemoryError("spm_encode_batch failed")
+        try:
+            offs = out_offs[: n + 1]  # ctypes bulk slice (C-level copy)
+            flat = out_ids[: offs[n]]
+            results = [flat[offs[i]:offs[i + 1]] for i in range(n)]
+        finally:
+            self._lib.spm_free_ids(out_ids)
+            self._lib.spm_free_offsets(out_offs)
+        return results
 
     def __del__(self):
         try:

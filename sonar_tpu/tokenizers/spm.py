@@ -215,6 +215,48 @@ class SentencePieceModel:
             self._native_failed = True
         return self._native
 
+    def encode_batch(
+        self, texts: Sequence[str], num_threads: Optional[int] = None
+    ) -> List[List[int]]:
+        """Tokenize many strings at once (list of id lists, order preserved).
+
+        Fast path (unigram models with the C++ core built): ONE native call
+        per batch — normalization (the model's precompiled charsmap, or the
+        identity normalizer's whitespace phase) + trie Viterbi run inside an
+        internal thread pool with the GIL released. Models that need the
+        NFKC fallback (no charsmap) normalize per string in Python, then
+        batch-Viterbi natively. Bit-identical to ``[self.encode(t) for t in
+        texts]`` in every mode (fuzz-asserted in tests/unit/test_native.py).
+        """
+        if num_threads is None:
+            import os
+
+            num_threads = int(
+                os.environ.get("SONAR_TPU_TOKENIZE_THREADS", 0)
+            ) or min(8, os.cpu_count() or 1)
+        texts = list(texts)
+        if self.model_type == MODEL_UNIGRAM and len(texts) > 1:
+            native = self._native_encoder()
+            if native is not None:
+                n = self.proto.normalizer
+                if n.precompiled_charsmap or n.name == "identity":
+                    if not native.normalizer_set:
+                        native.set_normalizer(
+                            n.precompiled_charsmap,
+                            n.remove_extra_whitespaces,
+                            n.add_dummy_prefix,
+                            n.escape_whitespaces,
+                        )
+                    return native.encode_batch(
+                        texts, pre_normalized=False, num_threads=num_threads
+                    )
+                return native.encode_batch(
+                    [self.normalize(t) for t in texts],
+                    pre_normalized=True,
+                    num_threads=num_threads,
+                )
+        return [self.encode(t) for t in texts]
+
     def encode_as_pieces(self, text: str) -> List[str]:
         return [self._pieces[i] for i in self.encode(text)]
 
@@ -390,6 +432,17 @@ class SentencePieceEncoder:
 
     def __call__(self, text: str) -> List[int]:
         return self.prefix_indices + self.model.encode(text) + self.suffix_indices
+
+    def encode_batch(
+        self, texts: Sequence[str], num_threads: Optional[int] = None
+    ) -> List[List[int]]:
+        """Batched tokenization through the native fast path (one
+        GIL-releasing call; see ``SentencePieceModel.encode_batch``)."""
+        pre, suf = self.prefix_indices, self.suffix_indices
+        ids = self.model.encode_batch(texts, num_threads=num_threads)
+        if not pre and not suf:
+            return ids
+        return [pre + x + suf for x in ids]
 
 
 class SentencePieceDecoder:

@@ -120,3 +120,26 @@ def test_prefetch_abandoned_iterator_releases_worker():
             break
         time.sleep(0.05)
     assert threading.active_count() <= before, "prefetch worker leaked"
+
+
+def test_map_batched_chunks_and_order():
+    from sonar_tpu.data.pipeline import read_sequence
+
+    calls = []
+
+    def batch_fn(chunk):
+        calls.append(len(chunk))
+        return [x * 10 for x in chunk]
+
+    out = list(
+        read_sequence(list(range(10))).map_batched(batch_fn, batch_size=4).and_return()
+    )
+    assert out == [x * 10 for x in range(10)]
+    assert calls == [4, 4, 2]  # full chunks then remainder
+
+
+def test_map_batched_empty_source():
+    from sonar_tpu.data.pipeline import read_sequence
+
+    out = list(read_sequence([]).map_batched(lambda c: c).and_return())
+    assert out == []

@@ -89,3 +89,85 @@ def test_native_is_used_and_faster(native_lib, tmp_path):
         m._viterbi(text)
     t_python = time.perf_counter() - t0
     assert t_native < t_python, (t_native, t_python)
+
+
+# -- batched fast path --------------------------------------------------------
+
+
+def _fuzz_texts(n=200, seed=3):
+    import random
+
+    pools = [
+        "abcdefghijklmnopqrstuvwxyz ",
+        "héllo wörld ñuñez çà ",
+        "日本語テキスト中文текст",
+        "🙂🚀❤️",
+        "0123456789-_.,!?",
+        "   ",
+    ]
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, 40)
+        out.append("".join(rng.choice(rng.choice(pools)) for _ in range(k)))
+    out += ["", " ", "  hello   world  ", "a"]
+    return out
+
+
+def test_encode_batch_matches_single_nfkc_fallback(native_lib, tmp_path):
+    """No charsmap (nmt_nfkc name): Python normalize + native batch Viterbi
+    must equal the per-string encode() path exactly."""
+    for bf in (False, True):
+        d = tmp_path / f"bf{bf}"
+        d.mkdir()
+        m = build_toy_spm(d, byte_fallback=bf)
+        texts = _fuzz_texts()
+        assert m.encode_batch(texts) == [m.encode(t) for t in texts]
+
+
+def test_encode_batch_matches_single_charsmap(native_lib, tmp_path):
+    """Charsmap model: full-native path (C++ charsmap + whitespace phase +
+    Viterbi) must equal encode(), and native normalize must equal the
+    Python PrecompiledCharsmap traversal."""
+    from helpers import build_toy_spm_proto
+
+    from sonar_tpu.tokenizers.charsmap import build_charsmap
+    from sonar_tpu.tokenizers.spm import SentencePieceModel
+    from sonar_tpu.tokenizers.spm_proto import (
+        NormalizerSpecProto,
+        serialize_model_proto,
+    )
+
+    proto = build_toy_spm_proto(byte_fallback=True)
+    proto.normalizer = NormalizerSpecProto(
+        name="nmt_nfkc",
+        precompiled_charsmap=build_charsmap(
+            {
+                "A": "a", "B": "b", "C": "c", "É": "e", "ﬁ": "fi",
+                "ABC": "abc!", "日": "nichi", " ": " ", "🙂": "",
+            }
+        ),
+    )
+    m = SentencePieceModel(serialize_model_proto(proto))
+    texts = _fuzz_texts() + ["Hello World", "ABC ABD ﬁne", "aAbBcC 日本"]
+    assert m.encode_batch(texts) == [m.encode(t) for t in texts]
+    native = m._native_encoder()
+    for t in texts:
+        assert native.normalize(t) == m.normalize(t), repr(t)
+
+
+def test_encode_batch_thread_count_invariance(native_lib, tmp_path):
+    m = build_toy_spm(tmp_path, byte_fallback=True)
+    texts = _fuzz_texts(100, seed=7)
+    want = m.encode_batch(texts, num_threads=1)
+    for k in (2, 4, 8):
+        assert m.encode_batch(texts, num_threads=k) == want
+
+
+def test_encoder_encode_batch_prefix_suffix(native_lib, tmp_path):
+    from helpers import build_toy_nllb
+
+    tok = build_toy_nllb(tmp_path)
+    enc = tok.create_encoder(lang="eng_Latn")
+    texts = ["hello world", "", "my name is paul"]
+    assert enc.encode_batch(texts) == [enc(t) for t in texts]
