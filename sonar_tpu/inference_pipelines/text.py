@@ -50,10 +50,10 @@ def _static_len_buckets_for(max_len: int) -> tuple:
     return tuple(b for b in STATIC_LEN_BUCKETS if b < max_len) + (max_len,)
 
 
-# Batches per encode window in the static path: bounds host memory on huge
-# corpora while keeping enough same-shape batches per window for dispatch
-# stacking. Module-level so tests can shrink it.
-_STATIC_ENCODE_WINDOW = 256
+# Max un-materialized stacked dispatches in the static path's streaming
+# executor (rolling materialization bound — device/host memory cap on
+# unbounded corpora). Module-level so tests can shrink it.
+_STATIC_ENCODE_WINDOW = 64
 
 
 class JitTextEncoder:
@@ -190,6 +190,11 @@ class JitTextEncoder:
                 )
         if not materialize:
             return futures
+        return self._materialize(futures, batches)
+
+    def _materialize(
+        self, futures: List, batches: List[SequenceBatch], done: dict = None
+    ) -> List:
         # Start ALL device->host copies before materializing any: D2H is the
         # other fixed-latency tunnel cost, and async copies overlap both the
         # remaining compute and each other.
@@ -203,7 +208,7 @@ class JitTextEncoder:
                 except AttributeError:
                     pass
         out: List[np.ndarray] = []
-        materialized: dict = {}
+        materialized: dict = {} if done is None else done
         for i, f in enumerate(futures):
             if isinstance(f, tuple):
                 stack, row = f
@@ -215,6 +220,73 @@ class JitTextEncoder:
                 emb = np.asarray(f)
             out.append(emb[: batches[i].true_batch])
         return out
+
+    def encode_batches_iter(
+        self, batch_iter, max_pending: int = 64
+    ) -> List[np.ndarray]:
+        """Streaming ``encode_batches``: dispatch stacked same-shape batches
+        AS THEY ARRIVE from a (typically prefetch-threaded) iterator.
+
+        Pipelining shape: while the device runs one stacked dispatch, the
+        producer thread tokenizes/collates the next batches and this loop
+        enqueues further dispatches; each result's device->host copy starts
+        the moment its dispatch is enqueued (``copy_to_host_async``), so on
+        serving hosts tokenize, compute and D2H all overlap. At most
+        ``max_pending`` stacked results stay un-materialized on device
+        (rolling materialization in dispatch order), bounding device and
+        host memory on unbounded corpora.
+
+        Returns per-batch embeddings in input order, identical to
+        ``encode_batches(list(batch_iter))``.
+        """
+        batches: List[SequenceBatch] = []
+        if self.mesh is not None or self.dispatch_stack == 1:
+            return [self.encode_batch(b) for b in batch_iter]
+        k = self.dispatch_stack
+        koff = self._kernels_off()
+        buf: dict = {}        # seqs shape -> list of input indices
+        futures: List = []    # per input index: (stack, row) | device array
+        pending: List = []    # dispatch-ordered stacks awaiting materialize
+        done: dict = {}       # id(stack) -> np.ndarray (materialized)
+
+        def dispatch_stacked(idx_list):
+            seqs = jnp.asarray(np.stack([batches[i].seqs for i in idx_list]))
+            lens = jnp.asarray(
+                np.stack([batches[i].seq_lens for i in idx_list])
+            )
+            stack = self._stack_fn(self.params, seqs, lens, kernels_off=koff)
+            try:
+                stack.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append(stack)
+            for row, i in enumerate(idx_list):
+                futures[i] = (stack, row)
+
+        for b in batch_iter:
+            batches.append(b)
+            futures.append(None)
+            i = len(batches) - 1
+            buf.setdefault(b.seqs.shape, []).append(i)
+            if len(buf[b.seqs.shape]) == k:
+                dispatch_stacked(buf.pop(b.seqs.shape))
+            while len(pending) > max_pending:
+                s = pending.pop(0)
+                done[id(s)] = np.asarray(s)
+        for idx_list in buf.values():  # leftover singles per shape
+            for i in idx_list:
+                arr = self._fn(
+                    self.params,
+                    jnp.asarray(batches[i].seqs),
+                    jnp.asarray(batches[i].seq_lens),
+                    kernels_off=koff,
+                )
+                try:
+                    arr.copy_to_host_async()
+                except AttributeError:
+                    pass
+                futures[i] = arr
+        return self._materialize(futures, batches, done)
 
 
 def _resolve_encoder(encoder, dtype=None) -> JitTextEncoder:
@@ -346,20 +418,14 @@ class TextToEmbeddingModelPipeline:
                 _map_tokenize(builder, tokenizer_encoder).map(truncate).and_return()
             )
             with precision_context(self.model.dtype):
-                # Windowed drain: a few hundred batches at a time keeps the
-                # dispatch-stacking benefit (dispatch_stack ~8 per shape)
-                # while bounding host memory — a full list() of tokenized
-                # batches grows without bound on very large corpora.
-                from itertools import islice
-
                 from sonar_tpu.data.pipeline import read_iterator
 
-                window = _STATIC_ENCODE_WINDOW
-                # Prefetch thread: tokenization (GIL-free native batch
-                # calls) + bucketing + pad-collation run in the background
-                # while encode_batches blocks on the device — without this
-                # the host stages serialize with chip time and cap
-                # end-to-end throughput at host_rate*chip_rate/(host+chip).
+                # Three-way overlap: a prefetch thread tokenizes (GIL-free
+                # native batch calls) + buckets + pad-collates while the
+                # streaming executor below dispatches stacked batches to the
+                # device and starts each result's D2H copy immediately.
+                # Without this the host stages serialize with chip time and
+                # cap end-to-end throughput (scripts/bench_e2e_text.py).
                 it = iter(
                     read_iterator(
                         lambda: batcher.batches(iter(tokens), yield_indices=True)
@@ -367,13 +433,16 @@ class TextToEmbeddingModelPipeline:
                     .prefetch(64)
                     .and_return()
                 )
-                embs, positions = [], []
-                while True:
-                    pairs = list(islice(it, window))
-                    if not pairs:
-                        break
-                    embs.extend(self.model.encode_batches([b for b, _ in pairs]))
-                    positions.extend(pos for _, pos in pairs)
+                positions = []
+
+                def batches_only():
+                    for b, pos in it:
+                        positions.append(pos)
+                        yield b
+
+                embs = self.model.encode_batches_iter(
+                    batches_only(), max_pending=_STATIC_ENCODE_WINDOW
+                )
             if n_truncated:
                 warnings.warn(
                     f"For {n_truncated} input tensors for SONAR text encoder, "

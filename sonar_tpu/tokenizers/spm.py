@@ -189,7 +189,12 @@ class SentencePieceModel:
         if self.model_type == MODEL_UNIGRAM:
             native = self._native_encoder()
             if native is not None:
-                return native.encode_normalized(s)
+                try:
+                    return native.encode_normalized(s)
+                except UnicodeEncodeError:
+                    # Lone surrogates (surrogateescape'd input) cannot cross
+                    # the UTF-8 ABI; the pure-Python DP handles them.
+                    pass
             return self._viterbi(s)
         if self.model_type == MODEL_BPE:
             return self._bpe_encode(s)
@@ -238,6 +243,18 @@ class SentencePieceModel:
         if self.model_type == MODEL_UNIGRAM and len(texts) > 1:
             native = self._native_encoder()
             if native is not None:
+                # Lone surrogates (surrogateescape'd input) cannot cross the
+                # UTF-8 ABI — route those few through the Python DP and keep
+                # the rest on the batch path.
+                clean, bad = texts, {}
+                for i, t in enumerate(texts):
+                    try:
+                        t.encode("utf-8")
+                    except UnicodeEncodeError:
+                        if clean is texts:
+                            clean = list(texts)
+                        clean[i] = ""
+                        bad[i] = t
                 n = self.proto.normalizer
                 if n.precompiled_charsmap or n.name == "identity":
                     if not native.normalizer_set:
@@ -247,14 +264,19 @@ class SentencePieceModel:
                             n.add_dummy_prefix,
                             n.escape_whitespaces,
                         )
-                    return native.encode_batch(
-                        texts, pre_normalized=False, num_threads=num_threads
+                    out = native.encode_batch(
+                        clean, pre_normalized=False, num_threads=num_threads
                     )
-                return native.encode_batch(
-                    [self.normalize(t) for t in texts],
-                    pre_normalized=True,
-                    num_threads=num_threads,
-                )
+                else:
+                    out = native.encode_batch(
+                        [self.normalize(t) for t in clean],
+                        pre_normalized=True,
+                        num_threads=num_threads,
+                    )
+                for i, t in bad.items():
+                    s = self.normalize(t)
+                    out[i] = self._viterbi(s) if s else []
+                return out
         return [self.encode(t) for t in texts]
 
     def encode_as_pieces(self, text: str) -> List[str]:

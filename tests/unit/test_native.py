@@ -171,3 +171,12 @@ def test_encoder_encode_batch_prefix_suffix(native_lib, tmp_path):
     enc = tok.create_encoder(lang="eng_Latn")
     texts = ["hello world", "", "my name is paul"]
     assert enc.encode_batch(texts) == [enc(t) for t in texts]
+
+
+def test_encode_batch_surrogate_fallback(native_lib, tmp_path):
+    """Lone surrogates (surrogateescape'd bytes) can't cross the UTF-8 ABI;
+    they must route through the Python DP, batch == single."""
+    m = build_toy_spm(tmp_path)
+    bad = b"hello \xff world".decode("utf-8", errors="surrogateescape")
+    texts = ["hello world", bad, "my name is paul"]
+    assert m.encode_batch(texts) == [m.encode(t) for t in texts]

@@ -202,3 +202,29 @@ def test_static_batching_windowed_drain_restores_order(toy_bundle, monkeypatch):
         sents, source_lang="eng_Latn", batch_max_tokens=32, batching="static"
     )
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_encode_batches_iter_matches_list(toy_bundle):
+    """The streaming executor (encode_batches_iter) must equal
+    encode_batches on mixed shapes, incl. leftover sub-stack singles and a
+    tiny rolling-materialization bound."""
+    from sonar_tpu.data.collate import SequenceBatch
+    from sonar_tpu.inference_pipelines.text import JitTextEncoder
+
+    _, (encoder, enc_params), _ = toy_bundle
+    jit_enc = JitTextEncoder(encoder, enc_params, dispatch_stack=2)
+    rng = np.random.default_rng(3)
+    batches = []
+
+    for shape, count in (((2, 6), 5), ((3, 4), 3), ((2, 8), 1)):
+        for _ in range(count):
+            seqs = rng.integers(4, 20, size=shape).astype(np.int32)
+            lens = np.full((shape[0],), shape[1], np.int32)
+            batches.append(
+                SequenceBatch(seqs=seqs, seq_lens=lens, true_batch=shape[0])
+            )
+    want = jit_enc.encode_batches(batches)
+    got = jit_enc.encode_batches_iter(iter(batches), max_pending=1)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-6)
