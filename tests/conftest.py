@@ -19,11 +19,23 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent XLA compile cache: the suite is compile-dominated (~150 jitted
-# programs); repeat runs skip most of it.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.expanduser("~/.cache/sonar_tpu_xla_tests"),
-)
+# programs); repeat runs skip most of it. The dir is keyed by the host's CPU
+# feature set: XLA:CPU stores AOT code, and entries compiled on a different
+# machine fail to load (with an error per lookup) — a stale shared dir makes
+# the cache silently useless when the build box changes.
+def _cpu_cache_dir() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    key = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    return os.path.expanduser(f"~/.cache/sonar_tpu_xla_tests-{key}")
+
+
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402

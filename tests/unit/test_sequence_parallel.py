@@ -133,8 +133,11 @@ def test_sp_grads_match_single_device():
     def loss_sp(p, xx):
         return jnp.sum(sequence_conformer_stack(p, xx, bias, mask, cfg, mesh) ** 2)
 
-    g_ref = jax.grad(loss_ref, argnums=(0, 1))(stacked, x)
-    g_sp = jax.grad(loss_sp, argnums=(0, 1))(stacked, x)
+    # jit(grad): eager backward through shard_map runs op-by-op on the
+    # 8-virtual-device CPU (~30 s); compiled it is ~7 s and matches how
+    # training actually runs.
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(stacked, x)
+    g_sp = jax.jit(jax.grad(loss_sp, argnums=(0, 1)))(stacked, x)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sp)):
         a, b = np.asarray(a), np.asarray(b)
         np.testing.assert_allclose(b, a, atol=1e-3 * max(1.0, np.abs(a).max() * 1e-2))
