@@ -109,3 +109,20 @@ def test_built_blob_is_safe_for_unchecked_darts_readers():
         for _ in range(10):
             s = "".join(rng.choice(alph) for _ in range(rng.randint(0, 20)))
             assert ours.normalize(s) == theirs.normalize_str(s), (mapping, s)
+
+
+def test_multichar_key_longest_match_semantics():
+    """sentencepiece's Normalizer::NormalizePrefix longest-matches the trie
+    at EVERY position (darts commonPrefixSearch), so a multi-character key
+    like "Za" is replaced even though it spans two grapheme clusters. HF
+    tokenizers' spm_precompiled Rust port only matches whole grapheme
+    clusters or single chars (a documented approximation in its source), so
+    it is NOT an oracle for this class of key — real models' multi-char
+    keys are combining sequences (one grapheme), where both agree
+    (r4 fuzz campaign, PARITY.md)."""
+    from sonar_tpu.tokenizers.charsmap import PrecompiledCharsmap, build_charsmap
+
+    cm = PrecompiledCharsmap(build_charsmap({"Za": "X", "Z": "q", "a": "r"}))
+    assert cm.normalize("Za") == "X"       # longest match wins
+    assert cm.normalize("Zb") == "qb"      # single-char fallback
+    assert cm.normalize("aZa") == "rX"     # longest match at every position
