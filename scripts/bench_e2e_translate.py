@@ -39,7 +39,9 @@ import jax.numpy as jnp
 
 from bench_e2e_text import build_nllb_scale_tokenizer, synthetic_text
 
-N_SENTENCES = int(os.environ.get("SONAR_TPU_BENCH_N", 256))
+# 1024 sentences -> ~11 s walls: the tunnel's pass-to-pass noise (up to
+# ~2x at 3-7 s walls) averages out; r4 medians reproduce within ~2%.
+N_SENTENCES = int(os.environ.get("SONAR_TPU_BENCH_N", 1024))
 BATCH = 32
 MAX_GEN = 32
 

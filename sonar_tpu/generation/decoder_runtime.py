@@ -135,18 +135,20 @@ class JitTextDecoder:
         prefix_ids: Sequence[int],
         config: BeamSearchConfig,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """memory: [B, 1, D]; returns (tokens [B,K,T], scores [B,K], lens [B,K])."""
+        """memory: [B, 1, D] (numpy OR device array — encode->decode handoff
+        stays on device); returns (tokens [B,K,T], scores [B,K], lens [B,K])."""
         b = memory.shape[0]
         b_pad = round_up_pow2(b)
         if self.mesh is not None:
             n_data = self.mesh.shape["data"]
             b_pad = -(-b_pad // n_data) * n_data
+        mem_j = jnp.asarray(memory)
         if b_pad != b:
-            memory = np.concatenate(
-                [memory, np.zeros((b_pad - b,) + memory.shape[1:], memory.dtype)]
+            mem_j = jnp.concatenate(
+                [mem_j, jnp.zeros((b_pad - b,) + mem_j.shape[1:], mem_j.dtype)]
             )
         prefix = np.tile(np.asarray(prefix_ids, np.int32)[None, :], (b_pad, 1))
-        mem_j, prefix_j = jnp.asarray(memory), jnp.asarray(prefix)
+        prefix_j = jnp.asarray(prefix)
         if self.mesh is not None:
             from sonar_tpu.parallel.mesh import data_sharding
 
@@ -158,6 +160,13 @@ class JitTextDecoder:
         tokens, scores, lens = self._beam_jit[key](
             self.params, mem_j, prefix_j, kernels_off=self._kernels_off()
         )
+        # Start all three D2H copies before materializing any (each blocking
+        # np.asarray otherwise pays the transport fixed cost serially).
+        for a in (tokens, scores, lens):
+            try:
+                a.copy_to_host_async()
+            except AttributeError:
+                pass
         return np.asarray(tokens)[:b], np.asarray(scores)[:b], np.asarray(lens)[:b]
 
     # -- sampling ---------------------------------------------------------------
@@ -202,9 +211,10 @@ class JitTextDecoder:
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         b = memory.shape[0]
         b_pad = round_up_pow2(b)
+        memory = jnp.asarray(memory)  # numpy or device array (see generate_beam)
         if b_pad != b:
-            memory = np.concatenate(
-                [memory, np.zeros((b_pad - b,) + memory.shape[1:], memory.dtype)]
+            memory = jnp.concatenate(
+                [memory, jnp.zeros((b_pad - b,) + memory.shape[1:], memory.dtype)]
             )
         prefix = np.tile(np.asarray(prefix_ids, np.int32)[None, :], (b_pad, 1))
         key = (sampler, max_gen_len, min_gen_len, len(prefix_ids))

@@ -45,9 +45,17 @@ class EmbeddingToTextConverter:
         target_encoder = tokenizer.create_encoder(lang=target_lang, mode="target")
         self.prefix_ids: List[int] = list(target_encoder.prefix_indices)
 
-    def batch_convert(self, embeddings: np.ndarray) -> List[str]:
-        """[B, D] sentence embeddings -> B decoded strings."""
-        memory = np.asarray(embeddings, np.float32)[:, None, :]
+    def batch_convert(self, embeddings) -> List[str]:
+        """[B, D] sentence embeddings -> B decoded strings.
+
+        Accepts numpy OR a device array (the translation path hands the
+        encoder output over on device, skipping a host round trip)."""
+        if isinstance(embeddings, np.ndarray):
+            memory = np.asarray(embeddings, np.float32)[:, None, :]
+        else:
+            import jax.numpy as jnp
+
+            memory = jnp.asarray(embeddings, jnp.float32)[:, None, :]
         if self.sampler is not None:
             tokens, _, lens = self.decoder.generate_sample(
                 memory,
@@ -94,5 +102,9 @@ class TextTranslator:
         max_len = self.encoder.max_source_len
         token_lists = [ids[:max_len] for ids in token_lists]
         batch = self.collater(token_lists)
-        embeddings = self.encoder.encode_batch(batch)
+        try:
+            # Device-to-device handoff into the decoder (no host round trip).
+            embeddings = self.encoder.encode_batch(batch, materialize=False)
+        except TypeError:  # custom encoder without the materialize knob
+            embeddings = self.encoder.encode_batch(batch)
         return self.converter.batch_convert(embeddings)

@@ -131,7 +131,12 @@ class JitTextEncoder:
     def max_source_len(self) -> int:
         return self.model.max_source_len
 
-    def encode_batch(self, batch: SequenceBatch) -> np.ndarray:
+    def encode_batch(
+        self, batch: SequenceBatch, materialize: bool = True
+    ) -> np.ndarray:
+        """``materialize=False`` returns the (trimmed) device array — for
+        device-to-device handoff (e.g. encode -> beam decode in the
+        translation path), skipping a host round trip."""
         seqs = jnp.asarray(batch.seqs)
         lens = jnp.asarray(batch.seq_lens)
         if self.mesh is not None:
@@ -145,6 +150,8 @@ class JitTextEncoder:
             seqs = jax.device_put(seqs, data_sharding(self.mesh, "data", None))
             lens = jax.device_put(lens, data_sharding(self.mesh, "data"))
         emb = self._fn(self.params, seqs, lens, kernels_off=self._kernels_off())
+        if not materialize:
+            return emb[: batch.true_batch]
         return np.asarray(emb)[: batch.true_batch]
 
     def encode_batches(
