@@ -85,15 +85,27 @@ class DataPipelineBuilder:
         an internal thread pool."""
         src = self._source
 
+        def run(buf):
+            out = list(fn(buf))
+            if len(out) != len(buf):
+                # A batch fn that drops/merges elements would silently
+                # misalign every downstream element (order restoration
+                # pairs embeddings with the wrong inputs).
+                raise ValueError(
+                    f"map_batched fn returned {len(out)} results for a "
+                    f"chunk of {len(buf)} elements"
+                )
+            return out
+
         def gen():
             buf: List[Any] = []
             for item in src():
                 buf.append(item)
                 if len(buf) == batch_size:
-                    yield from fn(buf)
+                    yield from run(buf)
                     buf = []
             if buf:
-                yield from fn(buf)
+                yield from run(buf)
 
         return DataPipelineBuilder(gen)
 

@@ -92,6 +92,18 @@ class TextTranslator:
         self.source_encoder = tokenizer.create_encoder(lang=source_lang, mode="source")
         pad = tokenizer.vocab_info.pad_idx
         self.collater = Collater(pad, len_buckets=DEFAULT_LEN_BUCKETS)
+        # Device-to-device handoff support, detected ONCE: a per-batch
+        # try/except TypeError would swallow genuine TypeErrors from inside
+        # the encoder and silently re-run the whole encode.
+        try:
+            import inspect
+
+            self._encoder_keeps_device = (
+                "materialize"
+                in inspect.signature(encoder.encode_batch).parameters
+            )
+        except (TypeError, ValueError):
+            self._encoder_keeps_device = False
 
     def batch_translate(self, texts: Sequence[str]) -> List[str]:
         encode_batch = getattr(self.source_encoder, "encode_batch", None)
@@ -102,9 +114,9 @@ class TextTranslator:
         max_len = self.encoder.max_source_len
         token_lists = [ids[:max_len] for ids in token_lists]
         batch = self.collater(token_lists)
-        try:
+        if self._encoder_keeps_device:
             # Device-to-device handoff into the decoder (no host round trip).
             embeddings = self.encoder.encode_batch(batch, materialize=False)
-        except TypeError:  # custom encoder without the materialize knob
+        else:
             embeddings = self.encoder.encode_batch(batch)
         return self.converter.batch_convert(embeddings)

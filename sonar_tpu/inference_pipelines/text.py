@@ -199,9 +199,7 @@ class JitTextEncoder:
             return futures
         return self._materialize(futures, batches)
 
-    def _materialize(
-        self, futures: List, batches: List[SequenceBatch], done: dict = None
-    ) -> List:
+    def _materialize(self, futures: List, batches: List[SequenceBatch]) -> List:
         # Start ALL device->host copies before materializing any: D2H is the
         # other fixed-latency tunnel cost, and async copies overlap both the
         # remaining compute and each other.
@@ -215,7 +213,7 @@ class JitTextEncoder:
                 except AttributeError:
                     pass
         out: List[np.ndarray] = []
-        materialized: dict = {} if done is None else done
+        materialized: dict = {}
         for i, f in enumerate(futures):
             if isinstance(f, tuple):
                 stack, row = f
@@ -246,46 +244,55 @@ class JitTextEncoder:
         Returns per-batch embeddings in input order, identical to
         ``encode_batches(list(batch_iter))``.
         """
-        batches: List[SequenceBatch] = []
         if self.mesh is not None or self.dispatch_stack == 1:
             return [self.encode_batch(b) for b in batch_iter]
         k = self.dispatch_stack
         koff = self._kernels_off()
-        buf: dict = {}        # seqs shape -> list of input indices
-        futures: List = []    # per input index: (stack, row) | device array
-        pending: List = []    # dispatch-ordered stacks awaiting materialize
-        done: dict = {}       # id(stack) -> np.ndarray (materialized)
+        buf: dict = {}          # seqs shape -> list of input indices
+        held: dict = {}         # input index -> SequenceBatch (undispatched)
+        trims: List[int] = []   # per input index: true_batch
+        futures: List = []      # per input index: (stack_key, row) | array
+        stacks: dict = {}       # stack_key -> device array (un-materialized)
+        order: List[int] = []   # dispatch order of stack keys
+        done: dict = {}         # stack_key -> np.ndarray (materialized)
 
         def dispatch_stacked(idx_list):
-            seqs = jnp.asarray(np.stack([batches[i].seqs for i in idx_list]))
-            lens = jnp.asarray(
-                np.stack([batches[i].seq_lens for i in idx_list])
-            )
+            seqs = jnp.asarray(np.stack([held[i].seqs for i in idx_list]))
+            lens = jnp.asarray(np.stack([held[i].seq_lens for i in idx_list]))
             stack = self._stack_fn(self.params, seqs, lens, kernels_off=koff)
             try:
                 stack.copy_to_host_async()
             except AttributeError:
                 pass
-            pending.append(stack)
+            key = len(order)
+            stacks[key] = stack
+            order.append(key)
             for row, i in enumerate(idx_list):
-                futures[i] = (stack, row)
+                futures[i] = (key, row)
+                del held[i]  # release batch tokens once dispatched
 
+        n_rolled = 0
         for b in batch_iter:
-            batches.append(b)
+            i = len(trims)
+            trims.append(b.true_batch)
             futures.append(None)
-            i = len(batches) - 1
+            held[i] = b
             buf.setdefault(b.seqs.shape, []).append(i)
             if len(buf[b.seqs.shape]) == k:
                 dispatch_stacked(buf.pop(b.seqs.shape))
-            while len(pending) > max_pending:
-                s = pending.pop(0)
-                done[id(s)] = np.asarray(s)
-        for idx_list in buf.values():  # leftover singles per shape
+            # Rolling materialization: dropping the `stacks` reference is
+            # what actually frees the device buffer — the futures entries
+            # hold only (key, row), never the array.
+            while len(order) - n_rolled > max_pending:
+                key = order[n_rolled]
+                n_rolled += 1
+                done[key] = np.asarray(stacks.pop(key))
+        for idx_list in buf.values():  # leftover sub-stack singles per shape
             for i in idx_list:
                 arr = self._fn(
                     self.params,
-                    jnp.asarray(batches[i].seqs),
-                    jnp.asarray(batches[i].seq_lens),
+                    jnp.asarray(held[i].seqs),
+                    jnp.asarray(held[i].seq_lens),
                     kernels_off=koff,
                 )
                 try:
@@ -293,7 +300,18 @@ class JitTextEncoder:
                 except AttributeError:
                     pass
                 futures[i] = arr
-        return self._materialize(futures, batches, done)
+                del held[i]
+        out: List[np.ndarray] = []
+        for i, f in enumerate(futures):
+            if isinstance(f, tuple):
+                key, row = f
+                if key not in done:
+                    done[key] = np.asarray(stacks.pop(key))
+                emb = done[key][row]
+            else:
+                emb = np.asarray(f)
+            out.append(emb[: trims[i]])
+        return out
 
 
 def _resolve_encoder(encoder, dtype=None) -> JitTextEncoder:

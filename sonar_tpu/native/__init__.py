@@ -291,7 +291,15 @@ class NativeSpmEncoder:
         Returns a list of id lists. ``pre_normalized=False`` runs the
         installed C++ normalizer per string (``set_normalizer`` first).
         """
-        blobs = [t.encode("utf-8") for t in texts]
+        return self.encode_batch_blobs(
+            [t.encode("utf-8") for t in texts], pre_normalized, num_threads
+        )
+
+    def encode_batch_blobs(
+        self, blobs, pre_normalized: bool, num_threads: int
+    ):
+        """Like ``encode_batch`` but over pre-encoded UTF-8 byte strings
+        (lets the caller do its one UTF-8 pass and keep the blobs)."""
         n = len(blobs)
         offsets = (ctypes.c_int64 * (n + 1))()
         pos = 0

@@ -120,7 +120,12 @@ inline void darts_longest(const std::vector<uint32_t>& units,
     unit = units[node];
     if ((unit & 0x800000FFu) != c) break;  // label mismatch (or leaf unit)
     if ((unit >> 8) & 1u) {                // has_leaf
-      uint32_t leaf = units[node ^ darts_offset(unit)];
+      // Bounds-check the leaf read: a malformed blob must degrade to
+      // "no match", not read out of bounds (the header-only validation in
+      // spm_set_normalizer cannot rule this out).
+      uint32_t leaf_idx = node ^ darts_offset(unit);
+      if (leaf_idx >= units.size()) break;
+      uint32_t leaf = units[leaf_idx];
       *best_len = i - pos + 1;
       *best_val = static_cast<int32_t>(leaf & 0x7FFFFFFFu);
     }
@@ -142,11 +147,15 @@ void normalize_bytes(const SpmModel& m, const uint8_t* data, int n,
       int32_t val;
       darts_longest(m.cm_units, data, n, i, &len, &val);
       if (len > 0) {
-        // replacement = cm_repl[val .. next \0)
-        size_t end = val;
-        while (end < m.cm_repl.size() && m.cm_repl[end] != 0) ++end;
-        tmp.append(reinterpret_cast<const char*>(m.cm_repl.data()) + val,
-                   end - val);
+        // replacement = cm_repl[val .. next \0); out-of-range offsets
+        // (malformed blob) degrade to an empty replacement
+        size_t v = static_cast<size_t>(val);
+        if (v < m.cm_repl.size()) {
+          size_t end = v;
+          while (end < m.cm_repl.size() && m.cm_repl[end] != 0) ++end;
+          tmp.append(reinterpret_cast<const char*>(m.cm_repl.data()) + v,
+                     end - v);
+        }
         i += len;
       } else {
         int step = 1;

@@ -208,7 +208,7 @@ class SentencePieceModel:
             from sonar_tpu.native import NativeSpmEncoder
 
             items = sorted(self._seg_index.items(), key=lambda kv: kv[1])
-            self._native = NativeSpmEncoder(
+            native = NativeSpmEncoder(
                 pieces=[p for p, _ in items],
                 ids=[i for _, i in items],
                 scores=[self._scores[i] for _, i in items],
@@ -216,6 +216,19 @@ class SentencePieceModel:
                 unk_score=self._unk_score,
                 byte_ids=self._byte_ids if self.byte_fallback else {},
             )
+            # Install the normalizer eagerly: doing it lazily from
+            # encode_batch would race — another thread could be inside a
+            # GIL-released native encode while the C++ normalizer tables
+            # are being (re)assigned.
+            n = self.proto.normalizer
+            if n.precompiled_charsmap or n.name == "identity":
+                native.set_normalizer(
+                    n.precompiled_charsmap,
+                    n.remove_extra_whitespaces,
+                    n.add_dummy_prefix,
+                    n.escape_whitespaces,
+                )
+            self._native = native
         except Exception:
             self._native_failed = True
         return self._native
@@ -243,36 +256,27 @@ class SentencePieceModel:
         if self.model_type == MODEL_UNIGRAM and len(texts) > 1:
             native = self._native_encoder()
             if native is not None:
-                # Lone surrogates (surrogateescape'd input) cannot cross the
-                # UTF-8 ABI — route those few through the Python DP and keep
-                # the rest on the batch path.
-                clean, bad = texts, {}
-                for i, t in enumerate(texts):
+                pre_normalized = not native.normalizer_set
+                source = (
+                    (self.normalize(t) for t in texts)
+                    if pre_normalized
+                    else texts
+                )
+                # Single UTF-8 pass; lone surrogates (surrogateescape'd
+                # input) cannot cross the UTF-8 ABI — route those few
+                # through the Python DP and keep the rest on the batch path.
+                blobs, bad = [], {}
+                for i, t in enumerate(source):
                     try:
-                        t.encode("utf-8")
+                        blobs.append(t.encode("utf-8"))
                     except UnicodeEncodeError:
-                        if clean is texts:
-                            clean = list(texts)
-                        clean[i] = ""
-                        bad[i] = t
-                n = self.proto.normalizer
-                if n.precompiled_charsmap or n.name == "identity":
-                    if not native.normalizer_set:
-                        native.set_normalizer(
-                            n.precompiled_charsmap,
-                            n.remove_extra_whitespaces,
-                            n.add_dummy_prefix,
-                            n.escape_whitespaces,
-                        )
-                    out = native.encode_batch(
-                        clean, pre_normalized=False, num_threads=num_threads
-                    )
-                else:
-                    out = native.encode_batch(
-                        [self.normalize(t) for t in clean],
-                        pre_normalized=True,
-                        num_threads=num_threads,
-                    )
+                        blobs.append(b"")
+                        bad[i] = texts[i]
+                out = native.encode_batch_blobs(
+                    blobs,
+                    pre_normalized=pre_normalized,
+                    num_threads=num_threads,
+                )
                 for i, t in bad.items():
                     s = self.normalize(t)
                     out[i] = self._viterbi(s) if s else []

@@ -180,3 +180,24 @@ def test_encode_batch_surrogate_fallback(native_lib, tmp_path):
     bad = b"hello \xff world".decode("utf-8", errors="surrogateescape")
     texts = ["hello world", bad, "my name is paul"]
     assert m.encode_batch(texts) == [m.encode(t) for t in texts]
+
+
+def test_malformed_charsmap_leaf_out_of_bounds(native_lib, tmp_path):
+    """A blob whose has_leaf node points outside the unit array must degrade
+    to 'no match' in C++ (never an out-of-bounds read). The pure-Python
+    reader raises IndexError for the same blob; the native path is the one
+    that must stay memory-safe in a serving process."""
+    import struct
+
+    m = build_toy_spm(tmp_path)
+    native = m._native_encoder()
+    # root: offset 0x60 -> child for byte 'a' (0x61) at index 1;
+    # unit 1: label 'a', has_leaf=1, offset 0x1000 -> leaf index 0x1001 OOB.
+    units = [0x60 << 10, (0x1000 << 10) | (1 << 8) | 0x61]
+    trie = struct.pack("<2I", *units)
+    blob = struct.pack("<I", len(trie)) + trie + b"x\0"
+    native.set_normalizer(blob, True, True, True)
+    out = native.normalize("a banana")  # must not crash
+    assert isinstance(out, str) and "a" in out
+    # restore: subsequent tests build fresh models, but keep this one sane
+    native.set_normalizer(b"", True, True, True)
