@@ -52,9 +52,16 @@ def _bucket_len(n: int) -> int:
 class JitSpeechEncoder:
     """Waveform batches -> embeddings, fused fbank+encoder jit per bucket."""
 
-    def __init__(self, model: SonarSpeechEncoder, params, fbank_config=FbankConfig(),
+    def __init__(self, model: SonarSpeechEncoder, params, fbank_config=None,
                  quantize: bool = False, mesh=None, fbank_dtype=None):
         self.model = model
+        if fbank_config is None:
+            # Derive the mel-bin count from the model's frontend so any
+            # arch (incl. the 8-bin toy) works through the public pipeline
+            # out of the box; real SONAR archs use the 80-bin default.
+            fbank_config = FbankConfig(
+                num_mel_bins=model.config.frontend.num_fbank_channels
+            )
         # Reference parity: ``fbank_dtype`` picks the feature dtype
         # (WaveformToFbankConverter(dtype=...), speech.py:289); half
         # precision maps to bf16 on TPU (fp16 has no native support).
@@ -110,8 +117,14 @@ class JitSpeechEncoder:
     def model_dim(self) -> int:
         return self.model.config.model_dim
 
-    def encode_waveforms(self, waves: List[np.ndarray]) -> np.ndarray:
-        """List of [T] float32 mono waveforms -> [N, model_dim]."""
+    def encode_waveforms(
+        self, waves: List[np.ndarray], materialize: bool = True
+    ) -> np.ndarray:
+        """List of [T] float32 mono waveforms -> [N, model_dim].
+
+        ``materialize=False`` returns the (trimmed) device array for
+        device-to-device handoff into the text decoder (speech-to-text),
+        skipping a host round trip."""
         b = len(waves)
         max_t = _bucket_len(max(w.shape[0] for w in waves))
         b_pad = round_up_pow2(b)
@@ -134,6 +147,8 @@ class JitSpeechEncoder:
             self.params, batch_j, lens_j, max_frames,
             kernels_off=self._kernels_off(),
         )
+        if not materialize:
+            return emb[:b]
         return np.asarray(emb)[:b]
 
 
@@ -286,7 +301,8 @@ class SpeechToTextModelPipeline(SpeechModelPipelineInterface):
         )
 
         def generate(waves: List[np.ndarray]) -> List[str]:
-            emb = self.model.encode_waveforms(waves)
+            # Device-to-device handoff into the decoder (no host round trip).
+            emb = self.model.encode_waveforms(waves, materialize=False)
             return converter.batch_convert(emb)
 
         pipeline = (
@@ -404,7 +420,9 @@ class SpeechToTextPipeline:
         )
 
         def generate(waves: List[np.ndarray]) -> List[str]:
-            return converter.batch_convert(encoder.encode_waveforms(waves))
+            return converter.batch_convert(
+                encoder.encode_waveforms(waves, materialize=False)
+            )
 
         return self._audio_builder.prebuild_pipeline(context).map(generate)
 
