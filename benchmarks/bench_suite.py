@@ -7,6 +7,11 @@
 Run: ``python benchmarks/bench_suite.py``. Prints one JSON object. All
 workloads use dependency-safe timing (distinct inputs per iteration, host
 materialization) — see bench.py for why.
+
+End-to-end (raw input -> host output, incl. tokenize/detokenize and all
+host stages) has its own scripts with NLLB-scale synthetic tokenizers:
+``scripts/bench_e2e_text.py`` (text -> embeddings) and
+``scripts/bench_e2e_translate.py`` (text -> translations).
 """
 
 from __future__ import annotations

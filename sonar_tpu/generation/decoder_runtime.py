@@ -129,6 +129,23 @@ class JitTextDecoder:
 
         return jax.jit(fn, static_argnames=("kernels_off",))
 
+    def warmup(
+        self,
+        config: BeamSearchConfig,
+        prefix_len: int = 2,
+        batch_sizes: Sequence[int] = (32,),
+    ) -> int:
+        """Precompile the beam program for each batch size (cold-start
+        control; see ``JitTextEncoder.warmup``). Compilation keys on
+        (config, prefix_len, padded batch); the dummy memory content is
+        irrelevant. Returns the number of programs touched."""
+        eos = self.model.config.vocab_info.eos_idx
+        d = self.model.config.model_dim
+        for b in batch_sizes:
+            mem = np.zeros((b, 1, d), np.float32)
+            self.generate_beam(mem, [eos] * prefix_len, config)
+        return len(tuple(batch_sizes))
+
     def generate_beam(
         self,
         memory: np.ndarray,

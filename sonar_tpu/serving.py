@@ -166,7 +166,16 @@ class EmbeddingServer:
         request_timeout_s: float = 120.0,
         translator=None,
         speech_pipeline=None,
+        warmup: bool = False,
     ):
+        if warmup:
+            # Precompile every static serving shape BEFORE accepting
+            # requests — the bucket set costs one XLA compile per shape,
+            # which would otherwise land on the first unlucky requests
+            # (minutes on a cold process; see JitTextEncoder.warmup).
+            model = getattr(pipeline, "model", None)
+            if model is not None and hasattr(model, "warmup"):
+                model.warmup()
         self.batcher = MicroBatcher(
             lambda texts, lang: pipeline.predict(
                 texts, source_lang=lang, batching="static"

@@ -228,3 +228,45 @@ def test_encode_batches_iter_matches_list(toy_bundle):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, atol=1e-6)
+
+
+def test_encoder_warmup_compiles_serving_shapes(toy_bundle):
+    """warmup() precompiles every (rows, bucket) shape (+ stacked variants)
+    and does not disturb results."""
+    from sonar_tpu.inference_pipelines.text import JitTextEncoder
+
+    _, (encoder, enc_params), _ = toy_bundle
+    jit_enc = JitTextEncoder(encoder, enc_params, dispatch_stack=2)
+    n = jit_enc.warmup(len_buckets=(8, 16), tokens_per_batch=64)
+    assert n == 4  # 2 buckets x (single + stacked)
+    import jax.numpy as jnp
+
+    from sonar_tpu.data.collate import SequenceBatch
+
+    seqs = np.full((8, 8), 5, np.int32)
+    batch = SequenceBatch(
+        seqs=seqs, seq_lens=np.full((8,), 8, np.int32), true_batch=8
+    )
+    got = jit_enc.encode_batch(batch)
+    want = encoder.apply(
+        enc_params, jnp.asarray(seqs), jnp.asarray(batch.seq_lens)
+    ).sentence_embeddings
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
+def test_decoder_warmup(toy_bundle):
+    from sonar_tpu.generation.beam_search import BeamSearchConfig
+    from sonar_tpu.generation.decoder_runtime import JitTextDecoder
+
+    _, _, (decoder, dec_params) = toy_bundle
+    runtime = JitTextDecoder(decoder, dec_params)
+    cfg = BeamSearchConfig(beam_size=2, max_gen_len=4)
+    assert runtime.warmup(cfg, prefix_len=2, batch_sizes=(2, 4)) == 2
+    # warmed program serves a real call at the same (config, prefix, batch)
+    mem = np.random.default_rng(0).normal(size=(2, 1, decoder.config.model_dim))
+    tokens, scores, lens = runtime.generate_beam(
+        mem.astype(np.float32),
+        [decoder.config.vocab_info.eos_idx, 5],
+        cfg,
+    )
+    assert tokens.shape[0] == 2 and np.isfinite(scores).all()
