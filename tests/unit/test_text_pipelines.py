@@ -270,3 +270,30 @@ def test_decoder_warmup(toy_bundle):
         cfg,
     )
     assert tokens.shape[0] == 2 and np.isfinite(scores).all()
+
+
+def test_encode_batches_iter_randomized_streams(toy_bundle):
+    """Property test: random shape streams x max_pending values — the
+    streaming executor must equal the list executor exactly."""
+    from sonar_tpu.data.collate import SequenceBatch
+    from sonar_tpu.inference_pipelines.text import JitTextEncoder
+
+    _, (encoder, enc_params), _ = toy_bundle
+    jit_enc = JitTextEncoder(encoder, enc_params, dispatch_stack=3)
+    shapes = [(2, 4), (3, 6), (4, 5)]
+    for trial, max_pending in ((0, 0), (1, 1), (2, 2), (3, 64)):
+        rng = np.random.default_rng(trial)
+        batches = []
+        for _ in range(int(rng.integers(1, 14))):
+            bsz, slen = shapes[int(rng.integers(len(shapes)))]
+            seqs = rng.integers(4, 20, size=(bsz, slen)).astype(np.int32)
+            lens = rng.integers(1, slen + 1, size=(bsz,)).astype(np.int32)
+            true = int(rng.integers(1, bsz + 1))
+            batches.append(
+                SequenceBatch(seqs=seqs, seq_lens=lens, true_batch=true)
+            )
+        want = jit_enc.encode_batches(batches)
+        got = jit_enc.encode_batches_iter(iter(batches), max_pending=max_pending)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=1e-6)
