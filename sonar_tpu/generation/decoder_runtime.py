@@ -141,10 +141,11 @@ class JitTextDecoder:
         irrelevant. Returns the number of programs touched."""
         eos = self.model.config.vocab_info.eos_idx
         d = self.model.config.model_dim
+        batch_sizes = tuple(batch_sizes)
         for b in batch_sizes:
             mem = np.zeros((b, 1, d), np.float32)
             self.generate_beam(mem, [eos] * prefix_len, config)
-        return len(tuple(batch_sizes))
+        return len(batch_sizes)
 
     def generate_beam(
         self,

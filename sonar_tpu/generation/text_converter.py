@@ -50,12 +50,9 @@ class EmbeddingToTextConverter:
 
         Accepts numpy OR a device array (the translation path hands the
         encoder output over on device, skipping a host round trip)."""
-        if isinstance(embeddings, np.ndarray):
-            memory = np.asarray(embeddings, np.float32)[:, None, :]
-        else:
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
-            memory = jnp.asarray(embeddings, jnp.float32)[:, None, :]
+        memory = jnp.asarray(embeddings, jnp.float32)[:, None, :]
         if self.sampler is not None:
             tokens, _, lens = self.decoder.generate_sample(
                 memory,
