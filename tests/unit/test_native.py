@@ -201,3 +201,22 @@ def test_malformed_charsmap_leaf_out_of_bounds(native_lib, tmp_path):
     assert isinstance(out, str) and "a" in out
     # restore: subsequent tests build fresh models, but keep this one sane
     native.set_normalizer(b"", True, True, True)
+
+
+def test_encode_batch_concurrent_threads(native_lib, tmp_path):
+    """Two Python threads batch-encoding through ONE model concurrently
+    must both get correct results (the C++ normalizer installs eagerly at
+    construction, so no mutation races with GIL-released encodes)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    m = build_toy_spm(tmp_path, byte_fallback=True)
+    texts_a = _fuzz_texts(120, seed=11)
+    texts_b = _fuzz_texts(120, seed=12)
+    want_a = [m.encode(t) for t in texts_a]
+    want_b = [m.encode(t) for t in texts_b]
+    with ThreadPoolExecutor(2) as pool:
+        for _ in range(5):
+            fa = pool.submit(m.encode_batch, texts_a)
+            fb = pool.submit(m.encode_batch, texts_b)
+            assert fa.result() == want_a
+            assert fb.result() == want_b

@@ -217,3 +217,24 @@ def test_non_object_json_body_is_rejected(server):
     # worker survived the bad requests
     out = _post(srv.address, {"texts": ["hello"], "lang": "eng_Latn"})
     assert len(out["embeddings"]) == 1
+
+
+def test_server_warmup_flag(tmp_path_factory):
+    """warmup=True precompiles the embed path at construction; serving
+    results are unchanged. Small buckets keep the toy warmup fast."""
+    import dataclasses
+
+    tok2 = build_toy_nllb(tmp_path_factory.mktemp("warm"))
+    cfg = sonar_text_encoder_archs.get("toy")
+    cfg = dataclasses.replace(cfg, max_seq_len=16)
+    enc = SonarTextEncoder(cfg)
+    pipe = TextToEmbeddingModelPipeline(
+        encoder=(enc, enc.init_params(jax.random.PRNGKey(0))), tokenizer=tok2
+    )
+    srv = EmbeddingServer(pipe, max_wait_ms=5, warmup=True).start()
+    try:
+        out = _post(srv.address, {"texts": ["hello world"],
+                                  "source_lang": "eng_Latn"})
+        assert out["dim"] > 0 and len(out["embeddings"]) == 1
+    finally:
+        srv.stop()
