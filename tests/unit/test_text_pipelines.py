@@ -297,3 +297,16 @@ def test_encode_batches_iter_randomized_streams(toy_bundle):
         assert len(got) == len(want)
         for g, w in zip(got, want):
             np.testing.assert_allclose(g, w, atol=1e-6)
+
+
+def test_file_input_static_batching(toy_bundle, tmp_path):
+    """File input through the static (streaming-executor) path must equal
+    the dynamic path, order preserved."""
+    tok, enc, _ = toy_bundle
+    f = tmp_path / "input.txt"
+    f.write_text("\n".join(SENTENCES) + "\n")
+    pipe = TextToEmbeddingModelPipeline(encoder=enc, tokenizer=tok)
+    want = pipe.predict(SENTENCES, source_lang="eng_Latn", batch_size=2)
+    got = pipe.predict(f, source_lang="eng_Latn", batch_size=2,
+                       batching="static")
+    np.testing.assert_allclose(got, want, atol=1e-4)
