@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sonar_tpu.ops.topk import exact_top_k_wide
+
 NEG_INF = -1e30
 
 
@@ -46,10 +48,12 @@ class BeamSearchConfig:
     len_penalty: float = 1.0
     normalize_scores: bool = True
     unk_penalty: float = 0.0
-    # Two-stage candidate selection: per-beam ``lax.approx_max_k`` over the
-    # vocab (fast TPU reduction) followed by an exact merge. Big latency win
-    # for NLLB's 256k vocab; recall is ~1 but not bit-guaranteed, so exact
-    # ``lax.top_k`` stays the default for parity work.
+    # Candidate selection is two-stage in both modes (per-beam shortlist
+    # over the vocab, exact merge). The default shortlists with the blocked
+    # exact top-k (``ops/topk.exact_top_k_wide`` — full ``lax.top_k``
+    # semantics, never sorts the whole 256k row); ``approx_topk=True`` swaps
+    # in ``lax.approx_max_k`` (the TPU-native reduction), whose recall is ~1
+    # but not bit-guaranteed.
     approx_topk: bool = False
 
     @classmethod
@@ -279,54 +283,56 @@ def beam_search_lax(
     def body(carry):
         state, logits = carry
         step = state.step
-        if config.approx_topk:
-            # Work on RAW logits: per-row candidate order is shift-invariant,
-            # so the top-2K per beam can be picked in one pass over V and
-            # only the normalizer (logsumexp) needs a second; the full
-            # [N, V] log-softmax buffer (hundreds of MB at NLLB vocab) is
-            # never materialized. eos suppression / unk penalty only ever
-            # REMOVE or DEMOTE candidates, so applying them to the selected
-            # set (plus an appended exact unk column) preserves semantics.
-            lse = jax.scipy.special.logsumexp(logits, axis=-1).reshape(B, K)
-            row_s, row_i = jax.lax.approx_max_k(logits, 2 * K)     # [N, 2K]
-            lp_sel = row_s.reshape(B, K, 2 * K) - lse[:, :, None]
-            tok_sel = row_i.reshape(B, K, 2 * K)
-            lp_sel = jnp.where(
-                (step + 1 < config.min_gen_len) & (tok_sel == eos_idx),
-                NEG_INF, lp_sel,
+        # Candidate selection works on RAW logits in both modes: per-row
+        # candidate order is shift-invariant, so the per-beam shortlist can
+        # be picked in one pass over V and only the normalizer (logsumexp)
+        # needs a second; neither the [N, V] log-softmax buffer nor the
+        # [B, K, V] cumulative-score tensor (hundreds of MB each at NLLB
+        # vocab) is ever materialized. eos suppression / unk penalty only
+        # REMOVE or DEMOTE candidates: with w0 = 2K + 2 headroom (one slot
+        # per demotable token) plus an exact unk column appended below, the
+        # shortlist provably contains the post-penalty top-2K, so the exact
+        # selector preserves full flat-top_k semantics; the approx selector
+        # trades bit-guaranteed recall for the TPU-native reduction.
+        w0 = min(2 * K + 2, vocab_size)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1).reshape(B, K)
+        if w0 == vocab_size:
+            row_s, row_i = logits, jnp.broadcast_to(
+                jnp.arange(vocab_size, dtype=jnp.int32), logits.shape
             )
-            if unk_idx is not None and config.unk_penalty:
-                lp_sel = lp_sel - config.unk_penalty * (tok_sel == unk_idx)
-                unk_lp = (
-                    logits.reshape(B, K, vocab_size)[:, :, unk_idx]
-                    - lse - config.unk_penalty
-                )
-                present = (tok_sel == unk_idx).any(axis=-1)
-                lp_sel = jnp.concatenate(
-                    [lp_sel, jnp.where(present, NEG_INF, unk_lp)[:, :, None]],
-                    axis=-1,
-                )
-                tok_sel = jnp.concatenate(
-                    [tok_sel, jnp.full((B, K, 1), unk_idx, tok_sel.dtype)],
-                    axis=-1,
-                )
-            w = lp_sel.shape[-1]
-            cand = state.scores[:, :, None] + lp_sel               # [B, K, w]
-            flat_i = (
-                jnp.arange(K, dtype=jnp.int32)[None, :, None] * vocab_size
-                + tok_sel
-            ).reshape(B, K * w)
-            top_scores, pos = jax.lax.top_k(cand.reshape(B, K * w), 2 * K)
-            top_idx = jnp.take_along_axis(flat_i, pos, axis=1)
+        elif config.approx_topk:
+            row_s, row_i = jax.lax.approx_max_k(logits, w0)        # [N, w0]
         else:
-            lp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, vocab_size)
-            lp = jnp.where(step + 1 < config.min_gen_len,
-                           lp.at[:, :, eos_idx].set(NEG_INF), lp)
-            if unk_idx is not None and config.unk_penalty:
-                lp = lp.at[:, :, unk_idx].add(-config.unk_penalty)
-            cand = state.scores[:, :, None] + lp                   # [B, K, V]
-            flat = cand.reshape(B, K * vocab_size)
-            top_scores, top_idx = jax.lax.top_k(flat, 2 * K)       # [B, 2K]
+            row_s, row_i = exact_top_k_wide(logits, w0)            # [N, w0]
+        lp_sel = row_s.reshape(B, K, w0) - lse[:, :, None]
+        tok_sel = row_i.reshape(B, K, w0)
+        lp_sel = jnp.where(
+            (step + 1 < config.min_gen_len) & (tok_sel == eos_idx),
+            NEG_INF, lp_sel,
+        )
+        if unk_idx is not None and config.unk_penalty:
+            lp_sel = lp_sel - config.unk_penalty * (tok_sel == unk_idx)
+            unk_lp = (
+                logits.reshape(B, K, vocab_size)[:, :, unk_idx]
+                - lse - config.unk_penalty
+            )
+            present = (tok_sel == unk_idx).any(axis=-1)
+            lp_sel = jnp.concatenate(
+                [lp_sel, jnp.where(present, NEG_INF, unk_lp)[:, :, None]],
+                axis=-1,
+            )
+            tok_sel = jnp.concatenate(
+                [tok_sel, jnp.full((B, K, 1), unk_idx, tok_sel.dtype)],
+                axis=-1,
+            )
+        w = lp_sel.shape[-1]
+        cand = state.scores[:, :, None] + lp_sel                   # [B, K, w]
+        flat_i = (
+            jnp.arange(K, dtype=jnp.int32)[None, :, None] * vocab_size
+            + tok_sel
+        ).reshape(B, K * w)
+        top_scores, pos = jax.lax.top_k(cand.reshape(B, K * w), 2 * K)
+        top_idx = jnp.take_along_axis(flat_i, pos, axis=1)
         top_beam = top_idx // vocab_size
         top_tok = top_idx % vocab_size
         is_eos = top_tok == eos_idx

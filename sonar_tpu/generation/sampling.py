@@ -14,6 +14,8 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+from sonar_tpu.ops.topk import exact_top_k_wide
+
 NEG_INF = -1e30
 
 
@@ -29,7 +31,7 @@ class TopPSampler:
     def filter_logprobs(self, logprobs: jnp.ndarray) -> jnp.ndarray:
         """Keep the smallest prefix of the sorted distribution with mass >= p."""
         if 0 < self.max_candidates < logprobs.shape[-1]:
-            top_lp, _ = jax.lax.top_k(logprobs, self.max_candidates)
+            top_lp, _ = exact_top_k_wide(logprobs, self.max_candidates)
             sorted_lp = top_lp
         else:
             sorted_lp = jnp.sort(logprobs, axis=-1)[..., ::-1]
@@ -49,7 +51,8 @@ class TopKSampler:
     temperature: float = 1.0
 
     def filter_logprobs(self, logprobs: jnp.ndarray) -> jnp.ndarray:
-        kth = jnp.sort(logprobs, axis=-1)[..., -self.k][..., None]
+        top_lp, _ = exact_top_k_wide(logprobs, self.k)
+        kth = top_lp[..., -1:]
         return jnp.where(logprobs >= kth, logprobs, NEG_INF)
 
 

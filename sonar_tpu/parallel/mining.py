@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from sonar_tpu.ops.topk import exact_top_k_wide
+
 
 def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
@@ -80,7 +82,10 @@ def cosine_topk(
             s, i = jax.lax.approx_max_k(sim, kb)
             i = i.astype(jnp.int32)
         else:
-            s, i = jax.lax.top_k(sim, kb)
+            # Sub-blocked exact selection: sorting 1024-wide segments + a
+            # k-from-(8k) merge instead of one block_size-wide sort, same
+            # values/indices/tie order (ops/topk.exact_top_k_wide).
+            s, i = exact_top_k_wide(sim, kb, block_size=1024)
         cat_s = jnp.concatenate([best_s, s], axis=1)
         cat_i = jnp.concatenate([best_i, base + i], axis=1)
         ns, pos = jax.lax.top_k(cat_s, k)
