@@ -14,7 +14,6 @@ Checked by tests/unit/test_self_goldens.py.
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 
 import jax

@@ -117,6 +117,23 @@ class JitSpeechEncoder:
     def model_dim(self) -> int:
         return self.model.config.model_dim
 
+    def warmup(self, batch_size: int = 3, max_wave_len: int = 160000) -> int:
+        """Precompile the fused fbank+encoder program per wave bucket at the
+        padded batch (cold-start control; see ``JitTextEncoder.warmup``) —
+        one XLA compile per ``WAVE_BUCKETS`` entry up to ``max_wave_len``
+        (default: clips up to 10 s). Speech compiles are the expensive ones
+        (minutes each on a cold tunneled chip): keep ``max_wave_len`` tight
+        for the deployment's traffic. Returns the program count."""
+        n = 0
+        for b in WAVE_BUCKETS:
+            if b > max_wave_len:
+                break
+            self.encode_waveforms(
+                [np.zeros((b,), np.float32)] * batch_size, materialize=False
+            )
+            n += 1
+        return n
+
     def encode_waveforms(
         self, waves: List[np.ndarray], materialize: bool = True
     ) -> np.ndarray:
@@ -225,6 +242,12 @@ class SpeechToEmbeddingModelPipeline(SpeechModelPipelineInterface):
     def __init__(self, encoder, device=None, fbank_dtype=None) -> None:
         super().__init__()
         self.model = _resolve_speech_encoder(encoder, fbank_dtype=fbank_dtype)
+
+    def warmup(self, batch_size: int = 3, max_wave_len: int = 160000) -> int:
+        """Precompile the per-bucket encode programs ``predict`` will hit
+        (``batch_size`` must match the serve-time value; see
+        ``JitSpeechEncoder.warmup``)."""
+        return self.model.warmup(batch_size=batch_size, max_wave_len=max_wave_len)
 
     def predict(
         self,

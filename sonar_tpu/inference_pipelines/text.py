@@ -585,6 +585,52 @@ class TextToTextModelPipeline:
         self.tokenizer = _resolve_tokenizer(tokenizer)
         self._translator_cls = TextTranslator
 
+    def warmup(
+        self,
+        batch_size: int = 5,
+        target_lang: Optional[str] = None,
+        **generator_kwargs,
+    ) -> int:
+        """Precompile the translation serving shapes (cold-start control;
+        see ``JitTextEncoder.warmup``): the encoder forward at each
+        (pow2-padded ``batch_size``, collater len-bucket) shape
+        ``TextTranslator`` produces, plus the beam program at the padded
+        decode batch. ``batch_size`` / ``generator_kwargs`` must match the
+        serve-time ``predict`` call; compilation keys only on shapes and
+        config, not data. Returns the number of programs compiled."""
+        from sonar_tpu.data.collate import round_up_pow2
+        from sonar_tpu.generation.beam_search import BeamSearchConfig
+
+        gen_config = BeamSearchConfig.from_kwargs(
+            self.decoder.max_target_len, **generator_kwargs
+        )
+        vocab = self.tokenizer.vocab_info
+        b_pad = round_up_pow2(batch_size)
+        n = 0
+        for bucket in DEFAULT_LEN_BUCKETS:
+            if bucket > self.model.max_source_len:
+                break
+            batch = SequenceBatch(
+                seqs=np.full((b_pad, bucket), vocab.pad_idx, np.int32),
+                seq_lens=np.full((b_pad,), bucket, np.int32),
+                true_batch=b_pad,
+            )
+            self.model.encode_batch(batch, materialize=False)
+            n += 1
+        lang = target_lang or getattr(self.tokenizer, "default_lang", None)
+        if lang is not None:
+            prefix_len = len(
+                self.tokenizer.create_encoder(
+                    lang=lang, mode="target"
+                ).prefix_indices
+            )
+        else:
+            prefix_len = 2  # NLLB target prefix: [</s>, lang]
+        n += self.decoder.warmup(
+            gen_config, prefix_len=prefix_len, batch_sizes=(batch_size,)
+        )
+        return n
+
     def predict(
         self,
         input: Union[str, Path, Sequence[str]],
@@ -630,6 +676,33 @@ class EmbeddingToTextModelPipeline:
     def __init__(self, decoder, tokenizer, device=None, dtype=None) -> None:
         self.decoder = _resolve_decoder(decoder, dtype)
         self.tokenizer = _resolve_tokenizer(tokenizer)
+
+    def warmup(
+        self,
+        batch_size: int = 5,
+        target_lang: Optional[str] = None,
+        **generator_kwargs,
+    ) -> int:
+        """Precompile the beam program ``predict`` will hit at this
+        ``batch_size`` / generator config (cold-start control; see
+        ``TextToTextModelPipeline.warmup``)."""
+        from sonar_tpu.generation.beam_search import BeamSearchConfig
+
+        gen_config = BeamSearchConfig.from_kwargs(
+            self.decoder.max_target_len, **generator_kwargs
+        )
+        lang = target_lang or getattr(self.tokenizer, "default_lang", None)
+        if lang is not None:
+            prefix_len = len(
+                self.tokenizer.create_encoder(
+                    lang=lang, mode="target"
+                ).prefix_indices
+            )
+        else:
+            prefix_len = 2  # NLLB target prefix: [</s>, lang]
+        return self.decoder.warmup(
+            gen_config, prefix_len=prefix_len, batch_sizes=(batch_size,)
+        )
 
     def predict(
         self,

@@ -170,12 +170,19 @@ class EmbeddingServer:
     ):
         if warmup:
             # Precompile every static serving shape BEFORE accepting
-            # requests — the bucket set costs one XLA compile per shape,
-            # which would otherwise land on the first unlucky requests
-            # (minutes on a cold process; see JitTextEncoder.warmup).
+            # requests — each endpoint's shape set costs one XLA compile
+            # per shape, which would otherwise land on the first unlucky
+            # requests (minutes on a cold process; see
+            # JitTextEncoder.warmup). Every enabled endpoint warms: the
+            # /embed static buckets, /translate's encode + beam programs,
+            # and /embed_speech's per-wave-bucket programs.
             model = getattr(pipeline, "model", None)
             if model is not None and hasattr(model, "warmup"):
                 model.warmup()
+            if translator is not None and hasattr(translator, "warmup"):
+                translator.warmup()
+            if speech_pipeline is not None and hasattr(speech_pipeline, "warmup"):
+                speech_pipeline.warmup()
         self.batcher = MicroBatcher(
             lambda texts, lang: pipeline.predict(
                 texts, source_lang=lang, batching="static"

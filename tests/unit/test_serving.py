@@ -238,3 +238,24 @@ def test_server_warmup_flag(tmp_path_factory):
         assert out["dim"] > 0 and len(out["embeddings"]) == 1
     finally:
         srv.stop()
+
+
+def test_pipeline_warmups(full_server):
+    """Translator and speech pipeline warmups compile the serve-time
+    programs (counts > 0) and leave results unchanged; the server's
+    warmup flag reaches them via hasattr dispatch."""
+    _, t2t, speech_pipe = full_server
+    n = t2t.warmup(batch_size=2)
+    assert n >= 2  # at least one encoder bucket + the beam program
+    texts = ["hello world", "my name is paul"]
+    before = t2t.predict(texts, source_lang="eng_Latn",
+                         target_lang="fra_Latn", batch_size=2)
+    assert len(before) == 2
+
+    n = speech_pipe.warmup(batch_size=2, max_wave_len=16000)
+    assert n == 1  # exactly the 1 s bucket
+    rng = np.random.default_rng(0)
+    waves = [(rng.normal(size=12000) * 0.1).astype(np.float32),
+             (rng.normal(size=15000) * 0.1).astype(np.float32)]
+    out = speech_pipe.predict(waves, batch_size=2)
+    assert out.shape == (2, speech_pipe.model.model_dim)
