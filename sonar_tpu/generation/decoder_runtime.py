@@ -20,6 +20,18 @@ from sonar_tpu.generation.sampling import sample_lax
 from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
 
 
+class _BeamHandle:
+    """In-flight beam decode: padded device arrays + the true batch size.
+
+    Created by ``JitTextDecoder.generate_beam_async``; resolve with
+    ``JitTextDecoder.materialize_beam``."""
+
+    __slots__ = ("tokens", "scores", "lens", "b")
+
+    def __init__(self, tokens, scores, lens, b: int):
+        self.tokens, self.scores, self.lens, self.b = tokens, scores, lens, b
+
+
 class JitTextDecoder:
     def __init__(self, model: ConditionalTransformerDecoder, params,
                  quantize: bool = False, mesh=None):
@@ -155,6 +167,21 @@ class JitTextDecoder:
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """memory: [B, 1, D] (numpy OR device array — encode->decode handoff
         stays on device); returns (tokens [B,K,T], scores [B,K], lens [B,K])."""
+        return self.materialize_beam(
+            self.generate_beam_async(memory, prefix_ids, config)
+        )
+
+    def generate_beam_async(
+        self,
+        memory: np.ndarray,
+        prefix_ids: Sequence[int],
+        config: BeamSearchConfig,
+    ) -> "_BeamHandle":
+        """Dispatch a beam decode and return WITHOUT blocking: the handle's
+        device arrays have their D2H copies already started. Pipelined
+        callers (``TextTranslator.translate_stream``) dispatch batch i+1's
+        decode before materializing batch i, hiding dispatch latency and
+        host detokenization under device compute."""
         b = memory.shape[0]
         b_pad = round_up_pow2(b)
         if self.mesh is not None:
@@ -185,7 +212,19 @@ class JitTextDecoder:
                 a.copy_to_host_async()
             except AttributeError:
                 pass
-        return np.asarray(tokens)[:b], np.asarray(scores)[:b], np.asarray(lens)[:b]
+        return _BeamHandle(tokens, scores, lens, b)
+
+    @staticmethod
+    def materialize_beam(
+        handle: "_BeamHandle",
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Block on a ``generate_beam_async`` handle -> host (tokens, scores,
+        lens), padding rows trimmed."""
+        return (
+            np.asarray(handle.tokens)[: handle.b],
+            np.asarray(handle.scores)[: handle.b],
+            np.asarray(handle.lens)[: handle.b],
+        )
 
     # -- sampling ---------------------------------------------------------------
 

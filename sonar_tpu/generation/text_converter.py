@@ -50,6 +50,14 @@ class EmbeddingToTextConverter:
 
         Accepts numpy OR a device array (the translation path hands the
         encoder output over on device, skipping a host round trip)."""
+        return self.finish_convert(self.dispatch_convert(embeddings))
+
+    def dispatch_convert(self, embeddings):
+        """Start decoding a batch without blocking; resolve the returned
+        handle with ``finish_convert``. Beam decode dispatches async
+        (``generate_beam_async``); sampling has no async path and resolves
+        eagerly (its decode is the same single compiled program, only the
+        host-side overlap is lost)."""
         import jax.numpy as jnp
 
         memory = jnp.asarray(embeddings, jnp.float32)[:, None, :]
@@ -63,9 +71,15 @@ class EmbeddingToTextConverter:
                 seed=self.seed,
             )
             return _decode_hypotheses(self.tokenizer, tokens, lens)
-        tokens, _, lens = self.decoder.generate_beam(
+        return self.decoder.generate_beam_async(
             memory, self.prefix_ids, self.gen_config
         )
+
+    def finish_convert(self, handle) -> List[str]:
+        """Materialize a ``dispatch_convert`` handle -> decoded strings."""
+        if isinstance(handle, list):  # eager sampling result
+            return handle
+        tokens, _, lens = self.decoder.materialize_beam(handle)
         return _decode_hypotheses(self.tokenizer, tokens[:, 0], lens[:, 0])
 
 
@@ -103,6 +117,11 @@ class TextTranslator:
             self._encoder_keeps_device = False
 
     def batch_translate(self, texts: Sequence[str]) -> List[str]:
+        return self.converter.finish_convert(self.dispatch_translate(texts))
+
+    def dispatch_translate(self, texts: Sequence[str]):
+        """Tokenize + collate + dispatch encode and decode, returning an
+        in-flight handle (resolve with ``converter.finish_convert``)."""
         encode_batch = getattr(self.source_encoder, "encode_batch", None)
         if encode_batch is not None:  # one GIL-releasing native call
             token_lists = encode_batch(texts)
@@ -116,4 +135,25 @@ class TextTranslator:
             embeddings = self.encoder.encode_batch(batch, materialize=False)
         else:
             embeddings = self.encoder.encode_batch(batch)
-        return self.converter.batch_convert(embeddings)
+        return self.converter.dispatch_convert(embeddings)
+
+    def translate_stream(self, chunks, window: int = 2):
+        """Pipelined translation over an iterator of text chunks.
+
+        Keeps up to ``window`` batches in flight: batch i+1's host stages
+        (tokenize/collate) and encode+decode dispatches run while batch i's
+        decode still executes on device, and batch i's materialize +
+        detokenize overlap batch i+1's compute — the translation-path
+        analogue of ``JitTextEncoder.encode_batches_iter``. Yields one list
+        of translations per input chunk, in order. Results are identical to
+        sequential ``batch_translate`` calls (same programs, same data);
+        only the host/device overlap changes."""
+        from collections import deque
+
+        pending: "deque" = deque()
+        for texts in chunks:
+            pending.append(self.dispatch_translate(texts))
+            if len(pending) > window:
+                yield self.converter.finish_convert(pending.popleft())
+        while pending:
+            yield self.converter.finish_convert(pending.popleft())

@@ -323,22 +323,38 @@ class SpeechToTextModelPipeline(SpeechModelPipelineInterface):
             self.decoder, self.tokenizer, target_lang, gen_config
         )
 
-        def generate(waves: List[np.ndarray]) -> List[str]:
+        def dispatch(waves: List[np.ndarray]):
             # Device-to-device handoff into the decoder (no host round trip).
             emb = self.model.encode_waveforms(waves, materialize=False)
-            return converter.batch_convert(emb)
+            return converter.dispatch_convert(emb)
 
         pipeline = (
             read_sequence(list(input))
             .map(self._decode_audio, num_parallel_calls=n_parallel)
             .bucket(batch_size)
             .prefetch(n_prefetched_batches)
-            .map(generate)
+            .map(dispatch)
             .and_return()
         )
-        iterable = pipeline
+
+        def stream(handles, window: int = 2):
+            # Rolling in-flight window: batch i+1's fbank+encode+decode
+            # dispatches run while batch i still computes, and batch i's
+            # materialize + detokenize overlap batch i+1's device time
+            # (same pattern as TextTranslator.translate_stream).
+            from collections import deque
+
+            pending: "deque" = deque()
+            for h in handles:
+                pending.append(h)
+                if len(pending) > window:
+                    yield converter.finish_convert(pending.popleft())
+            while pending:
+                yield converter.finish_convert(pending.popleft())
+
+        iterable = stream(iter(pipeline))
         if progress_bar:
-            iterable = add_progress_bar(pipeline, inputs=input, batch_size=batch_size)
+            iterable = add_progress_bar(iterable, inputs=input, batch_size=batch_size)
         results = list(iter(iterable))
         return [x for y in results for x in y]
 

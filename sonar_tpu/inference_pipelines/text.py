@@ -658,10 +658,14 @@ class TextToTextModelPipeline:
             if isinstance(input, (str, Path))
             else read_sequence(list(input))
         )
-        pipeline = builder.bucket(batch_size).map(translator.batch_translate).and_return()
-        iterable = pipeline
+        # Pipelined translate: up to 2 batches in flight so batch i+1's
+        # tokenize + dispatches overlap batch i's device decode, and
+        # batch i's materialize + detokenize overlap batch i+1's compute.
+        chunks = builder.bucket(batch_size).and_return()
+        stream = translator.translate_stream(iter(chunks))
+        iterable = stream
         if progress_bar:
-            iterable = add_progress_bar(pipeline, inputs=input, batch_size=batch_size)
+            iterable = add_progress_bar(stream, inputs=input, batch_size=batch_size)
         with precision_context(self.model.dtype):
             results = list(iter(iterable))
         return [x for y in results for x in y]

@@ -310,3 +310,32 @@ def test_file_input_static_batching(toy_bundle, tmp_path):
     got = pipe.predict(f, source_lang="eng_Latn", batch_size=2,
                        batching="static")
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_translate_stream_matches_sequential(toy_bundle):
+    """The pipelined translate path (rolling in-flight window) yields
+    exactly what sequential batch_translate calls produce, across window
+    sizes and uneven tail chunks."""
+    from sonar_tpu.generation.beam_search import BeamSearchConfig
+    from sonar_tpu.generation.text_converter import TextTranslator
+
+    tok, enc, dec = toy_bundle
+    t2t = TextToTextModelPipeline(encoder=enc, decoder=dec, tokenizer=tok)
+    translator = TextTranslator(
+        encoder=t2t.model, decoder=t2t.decoder, tokenizer=t2t.tokenizer,
+        source_lang="eng_Latn", target_lang="fra_Latn",
+        gen_config=BeamSearchConfig.from_kwargs(
+            t2t.decoder.max_target_len, max_seq_len=8),
+    )
+    chunks = [SENTENCES[:2], SENTENCES[2:4], SENTENCES[4:5]]
+    want = [translator.batch_translate(c) for c in chunks]
+    for window in (1, 2, 4):
+        got = list(translator.translate_stream(iter(chunks), window=window))
+        assert got == want, window
+    assert list(translator.translate_stream(iter([]), window=2)) == []
+
+    # the public pipeline (which routes through the stream) agrees too
+    flat = t2t.predict([s for c in chunks for s in c],
+                       source_lang="eng_Latn", target_lang="fra_Latn",
+                       batch_size=2, max_seq_len=8)
+    assert len(flat) == 5
