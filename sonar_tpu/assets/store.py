@@ -143,15 +143,21 @@ def cached_path(url_or_path: str) -> Path:
     target = cache_dir() / fname
     if target.exists():
         return target
-    tmp = target.with_suffix(target.suffix + ".part")
+    # Per-process temp name + atomic os.replace: concurrent cold starts
+    # (several server processes downloading the same checkpoint) must not
+    # share a ".part" inode — the first finisher's rename would otherwise
+    # publish a file the laggard is still writing into.
+    tmp = target.with_suffix(target.suffix + f".part.{os.getpid()}")
     try:
         urllib.request.urlretrieve(url_or_path, tmp)
+        os.replace(tmp, target)
     except OSError as e:
         raise RuntimeError(
             f"cannot download {url_or_path} (offline?). Pre-seed the cache at "
             f"{target} to use this asset without network access."
         ) from e
-    tmp.rename(target)
+    finally:
+        tmp.unlink(missing_ok=True)  # no stale .part after a failed download
     return target
 
 

@@ -51,14 +51,22 @@ def decode_wav_bytes(data: bytes) -> DecodedAudio:
         body = data[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_ext = body[16:]
         elif chunk_id == b"data":
             raw = body
         pos += 8 + size + (size & 1)
     if fmt is None or raw is None:
         raise ValueError("malformed wav: missing fmt/data chunk")
     audio_format, channels, rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) > 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits != 32 else 3
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # The real codec is the first 2 bytes of the SubFormat GUID in the
+        # fmt extension (cbSize [2] + validBits [2] + channelMask [4] then
+        # the GUID [16]); guessing from the bit depth misreads 32-bit PCM
+        # extensible files as IEEE float and vice versa.
+        if len(fmt_ext) >= 8 + 2:
+            (audio_format,) = struct.unpack("<H", fmt_ext[8:10])
+        else:
+            raise ValueError("malformed extensible wav: truncated fmt chunk")
 
     if audio_format == 1:  # PCM
         if bits == 16:
@@ -133,7 +141,13 @@ class FileMapper:
         path = (self.root_dir / rel) if self.root_dir else Path(rel)
         data = path.read_bytes()
         if offset is not None:
-            data = data[offset : offset + length] if length else data[offset:]
+            # `length is not None`: an explicit zero-length window must give
+            # an empty slice, not the whole tail.
+            data = (
+                data[offset : offset + length]
+                if length is not None
+                else data[offset:]
+            )
         return {"path": str(path), "data": data}
 
 

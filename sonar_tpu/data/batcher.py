@@ -65,15 +65,19 @@ class StaticShapeBatcher:
         ``yield_indices`` each yield is ``(batch, input_positions)`` so a
         caller can restore input order across the bucket interleaving.
         """
-        self.last_stats = []
-        self._yield_indices = yield_indices
+        # Per-generator state: two interleaved batches() runs on one batcher
+        # must not share yield shape or stats. ``self.last_stats`` stays a
+        # public diagnostic pointing at the most recently started run's own
+        # list (never mutated by another run).
+        stats: List[Tuple[int, int, int, int]] = []
+        self.last_stats = stats
         pending: Dict[int, list] = {b: [] for b in self.len_buckets}
         for pos, item in enumerate(token_lists):
             item = (pos, list(item)[: self.len_buckets[-1]])
             b = self.bucket_of(len(item[1]))
             pending[b].append(item)
             if len(pending[b]) >= self.batch_size_for(b):
-                yield self._make(pending[b], b)
+                yield self._make(pending[b], b, stats, yield_indices)
                 pending[b] = []
         # Flush: ascending buckets; sparsely-filled remainders promote to the
         # next bucket when the added length padding is cheaper than the empty
@@ -84,7 +88,7 @@ class StaticShapeBatcher:
                 continue
             bsz = self.batch_size_for(b)
             while len(items) >= bsz:
-                yield self._make(items[:bsz], b)
+                yield self._make(items[:bsz], b, stats, yield_indices)
                 items = items[bsz:]
             if not items:
                 continue
@@ -98,16 +102,17 @@ class StaticShapeBatcher:
                 if promote_cost < own_cost:
                     pending[nb] = items + pending[nb]
                     continue
-            yield self._make(items, b)
+            yield self._make(items, b, stats, yield_indices)
 
-    def _make(self, items: List[Tuple[int, Sequence[int]]], bucket: int):
+    def _make(self, items: List[Tuple[int, Sequence[int]]], bucket: int,
+              stats: list, yield_indices: bool):
         bsz = self.batch_size_for(bucket)
         seqs = np.full((bsz, bucket), self.pad_value, np.int32)
         lens = np.zeros((bsz,), np.int32)
         for i, (_, it) in enumerate(items):
             seqs[i, : len(it)] = np.asarray(it, np.int32)
             lens[i] = len(it)
-        self.last_stats.append((bucket, len(items), bsz, int(lens.sum())))
+        stats.append((bucket, len(items), bsz, int(lens.sum())))
         if logger.isEnabledFor(logging.DEBUG):
             logger.debug(
                 "batch [%d, %d]: %d/%d rows, %.1f%% real tokens",
@@ -115,7 +120,7 @@ class StaticShapeBatcher:
                 100.0 * lens.sum() / (bsz * bucket),
             )
         batch = SequenceBatch(seqs=seqs, seq_lens=lens, true_batch=len(items))
-        if self._yield_indices:
+        if yield_indices:
             return batch, np.asarray([pos for pos, _ in items], np.int64)
         return batch
 

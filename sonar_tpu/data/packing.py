@@ -45,6 +45,12 @@ def pack_sequences(
     ``mapping`` lists (row, segment) per input sentence in input order.
     """
     n = len(token_lists)
+    if any(len(t) == 0 for t in token_lists):
+        # A zero-length sentence would get a segment id with no cells in
+        # segment_ids — per-segment pooling would silently reduce over an
+        # empty mask (NaN embedding). The unpacked path never sees this
+        # either (the tokenizer always emits at least a language token).
+        raise ValueError("pack_sequences: zero-length sequences not packable")
     order = sorted(range(n), key=lambda i: -len(token_lists[i]))
 
     rows: List[List[int]] = []          # flat token storage per row

@@ -79,7 +79,6 @@ class HFAudioToEmbeddingPipeline(Pipeline):
                 waves.append(w)
                 keep.append(i)
         n = len(batch[cfg.audio_column])
-        dim = self._pipeline.model.model_dim
         result: List[Optional[List[float]]] = [None] * n
         if waves:
             emb = self._pipeline.predict(

@@ -209,15 +209,19 @@ class HFEmbeddingToTextPipeline(Pipeline):
         out = dict(batch)
         for col in cfg.columns:
             values = batch[col]
-            first = values[0] if values else None
-            if (
-                isinstance(first, list)
-                and first
-                and isinstance(first[0], (list, np.ndarray))
-                and not np.isscalar(first[0][0] if len(first[0]) else 0.0)
-            ) or (
-                isinstance(first, list) and first and isinstance(first[0], list)
-            ):
+            first = values[0] if len(values) else None
+            # Nested = each row holds a LIST of embeddings (sentence-level
+            # column from a segmented pipeline) rather than one embedding.
+            # Works for python lists and for numpy-formatted datasets: a
+            # row that is a 2-D array, or a list whose first element is
+            # itself a vector (list or 1-D ndarray), is nested.
+            if isinstance(first, np.ndarray):
+                nested = first.ndim >= 2
+            elif isinstance(first, list) and first:
+                nested = np.ndim(first[0]) >= 1
+            else:
+                nested = False
+            if nested:
                 lengths = [len(v) for v in values]
                 flat = np.asarray(
                     [np.asarray(e, np.float32) for v in values for e in v]

@@ -28,6 +28,7 @@ import logging
 import queue
 import threading
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -63,6 +64,12 @@ class MicroBatcher:
     def submit(self, items: Sequence, key=None) -> Future:
         fut: Future = Future()
         self._q.put((list(items), key, fut))
+        if self._stop.is_set():
+            # Racing close(): the worker's shutdown purge may already have
+            # drained the queue, so purge again ourselves — a future landing
+            # in a dead queue would otherwise block its client for the full
+            # request timeout. Purging is idempotent.
+            self._purge()
         return fut
 
     @property
@@ -114,7 +121,14 @@ class MicroBatcher:
     def _process(self, batch) -> None:
         by_key: dict = {}
         for items, key, fut in batch:
-            by_key.setdefault(key, []).append((items, fut))
+            try:
+                by_key.setdefault(key, []).append((items, fut))
+            except TypeError as e:
+                # Unhashable batching key (e.g. a list passed as a lang).
+                # Fail only the offending request — swallowing it in the
+                # worker would stall every request coalesced into this
+                # drain until their full timeout.
+                self._resolve(fut, exc=e)
         for key, group in by_key.items():
             flat = [t for items, _ in group for t in items]
             try:
@@ -138,6 +152,9 @@ class MicroBatcher:
                 logger.exception("micro-batcher iteration failed")
         # shutdown: fail anything still queued instead of leaving clients
         # blocked until their full request timeout
+        self._purge()
+
+    def _purge(self) -> None:
         while True:
             try:
                 _, _, fut = self._q.get_nowait()
@@ -254,12 +271,21 @@ class EmbeddingServer:
                     raise ValueError("'texts' must be a list of strings")
                 return texts
 
+            @staticmethod
+            def _lang_of(req: dict, field: str, default=None) -> str:
+                lang = req.get(field, default)
+                if not isinstance(lang, str):
+                    # Reject before enqueueing: a non-string lang would be an
+                    # unhashable batching key inside the micro-batcher.
+                    raise ValueError(f"'{field}' must be a string")
+                return lang
+
             def do_POST(self):
                 try:
                     req = self._read_json_object()
                     if self.path == "/embed":
                         texts = self._texts_of(req)
-                        lang = req.get("lang", "eng_Latn")
+                        lang = self._lang_of(req, "lang", "eng_Latn")
                         if not texts:
                             self._reply(200, {"embeddings": [], "dim": 0})
                             return
@@ -277,7 +303,10 @@ class EmbeddingServer:
                             self._reply(404, {"error": "no translator configured"})
                             return
                         texts = self._texts_of(req)
-                        langs = (req["source_lang"], req["target_lang"])
+                        if "source_lang" not in req or "target_lang" not in req:
+                            raise KeyError("source_lang/target_lang required")
+                        langs = (self._lang_of(req, "source_lang"),
+                                 self._lang_of(req, "target_lang"))
                         if not texts:
                             self._reply(200, {"translations": []})
                             return
@@ -313,8 +342,12 @@ class EmbeddingServer:
                         self._reply(404, {"error": "unknown path"})
                 except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
-                except Exception as e:  # model/tokenizer errors -> 400
-                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                except FutureTimeoutError:
+                    # Server-side delay (compile storm, stalled batch) is not
+                    # the client's fault: 504 so well-behaved clients retry.
+                    self._reply(504, {"error": "request timed out server-side"})
+                except Exception as e:  # unexpected model/runtime errors
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self._serve_thread: Optional[threading.Thread] = None

@@ -110,3 +110,21 @@ def test_optimal_len_buckets_degenerate_inputs():
     b = StaticShapeBatcher(pad_value=1, len_buckets=bs, tokens_per_batch=64)
     out = list(b.batches([[], [], [7, 8, 9, 10, 11]]))
     assert sum(x.true_batch for x in out) == 3
+
+
+def test_interleaved_generators_do_not_share_state():
+    """Two concurrently-consumed batches() generators on ONE batcher keep
+    their own yield shape and stats (per-run state, not instance state)."""
+    from sonar_tpu.data.batcher import StaticShapeBatcher
+
+    b = StaticShapeBatcher(pad_value=0, len_buckets=(4, 8),
+                           tokens_per_batch=16)
+    xs = [[1, 2, 3]] * 9
+    g1 = b.batches(xs, yield_indices=True)
+    batch, pos = next(g1)            # g1 yields (batch, indices)
+    g2 = b.batches(xs)               # starting g2 must not flip g1's shape
+    plain = next(g2)
+    assert not isinstance(plain, tuple)
+    out2 = next(g1)                  # still (batch, indices) after g2 started
+    assert isinstance(out2, tuple) and len(out2[1])
+    list(g1), list(g2)

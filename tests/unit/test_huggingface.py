@@ -232,3 +232,36 @@ def test_hf_audio_to_embedding_pipeline():
     # multichannel row == channel-mean mono encode
     direct = enc.encode_waveforms([stereo_cf.mean(axis=0)])
     np.testing.assert_allclose(np.asarray(col[1]), direct[0], atol=1e-4)
+
+
+def test_hf_embedding_to_text_numpy_nested(tmp_path):
+    """Nested-column detection must work for numpy-formatted datasets too:
+    rows that are lists of 1-D ndarrays or 2-D ndarrays re-nest per row
+    (and agree with the python-list path); flat 1-D rows stay flat."""
+    import numpy as np
+
+    tok, enc, dec = _toy_models(tmp_path)
+    rng = np.random.default_rng(0)
+    d = 32
+    v = [rng.normal(size=d).astype(np.float32) for _ in range(4)]
+
+    dcfg = HFEmbeddingToTextPipelineConfig(
+        columns=["col"], decoder_model=dec, tokenizer=tok,
+        target_lang="eng_Latn", batch_size=2, output_column_suffix="text",
+        max_seq_len=6,
+    )
+    pipe = HFEmbeddingToTextPipeline(dcfg)
+
+    as_lists = pipe.process_batch(
+        {"col": [[v[0].tolist(), v[1].tolist()], [v[2].tolist()]]})
+    as_nd_lists = pipe.process_batch({"col": [[v[0], v[1]], [v[2]]]})
+    assert [len(x) for x in as_nd_lists["col_text"]] == [2, 1]
+    assert as_nd_lists["col_text"] == as_lists["col_text"]
+
+    as_2d = pipe.process_batch(
+        {"col": [np.stack([v[0], v[1]]), np.stack([v[2], v[3]])]})
+    assert [len(x) for x in as_2d["col_text"]] == [2, 2]
+    assert as_2d["col_text"][0] == as_lists["col_text"][0]
+
+    flat = pipe.process_batch({"col": [v[0], v[1]]})
+    assert all(isinstance(t, str) for t in flat["col_text"])

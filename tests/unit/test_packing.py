@@ -61,3 +61,14 @@ def test_packed_encode_matches_unpacked(rng):
             got[orig] = emb[row, seg - 1]
 
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pack_sequences_rejects_empty_sequence():
+    """A zero-length sentence would pool over an empty segment mask (NaN);
+    pack_sequences rejects it up front."""
+    import pytest
+
+    from sonar_tpu.data.packing import pack_sequences
+
+    with pytest.raises(ValueError, match="zero-length"):
+        list(pack_sequences([[1, 2], []], row_len=8, rows_per_batch=2))

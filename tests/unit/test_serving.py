@@ -259,3 +259,33 @@ def test_pipeline_warmups(full_server):
              (rng.normal(size=15000) * 0.1).astype(np.float32)]
     out = speech_pipe.predict(waves, batch_size=2)
     assert out.shape == (2, speech_pipe.model.model_dim)
+
+
+def test_microbatcher_unhashable_key_isolated_and_close_race():
+    """An unhashable batching key fails only its own request (others in the
+    same drain still resolve); submit racing close() resolves promptly
+    instead of hanging until the request timeout."""
+    from sonar_tpu.serving import MicroBatcher
+
+    mb = MicroBatcher(lambda items, key: [x * 2 for x in items],
+                      max_items=16, max_wait_ms=30.0)
+    bad = mb.submit([1], key=["unhashable"])
+    good = mb.submit([2], key="k")
+    assert good.result(timeout=10) == [4]
+    with pytest.raises(TypeError):
+        bad.result(timeout=10)
+    mb.close()
+    late = mb.submit([3], key="k")
+    with pytest.raises(RuntimeError, match="shutting down"):
+        late.result(timeout=5)
+
+
+def test_non_string_lang_rejected_fast(server):
+    """A non-string lang is rejected at the handler (400) rather than
+    stalling the micro-batch with an unhashable key."""
+    srv, _ = server
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv.address, {"texts": ["x"], "lang": ["eng_Latn"]})
+    assert e.value.code == 400
+    out = _post(srv.address, {"texts": ["still works"], "lang": "eng_Latn"})
+    assert len(out["embeddings"]) == 1
