@@ -105,6 +105,7 @@ class JitTextDecoder:
     # -- beam search -----------------------------------------------------------
 
     def _build_beam_fn(self, config: BeamSearchConfig, prefix_len: int):
+        config = self._cap_gen_len(config, prefix_len)
         model = self.model
         vocab = model.config.vocab_info.size
         eos = model.config.vocab_info.eos_idx
@@ -214,6 +215,26 @@ class JitTextDecoder:
                 pass
         return _BeamHandle(tokens, scores, lens, b)
 
+    def _cap_gen_len(self, config: BeamSearchConfig, prefix_len: int):
+        """Cap max_gen_len so prompt + generation fits the PE table.
+
+        ``from_kwargs`` caps by the model's total usable length but cannot
+        know the prompt length; without this, positions past the sinusoidal
+        table are silently clamped by ``dynamic_slice`` — repeated last-row
+        encodings, wrong logits. fairseq2 applies the same prompt-aware cap
+        (reference ``sonar/inference_pipelines/text.py:102-107``)."""
+        import dataclasses
+
+        limit = self.max_target_len - prefix_len
+        if limit < 1:
+            raise ValueError(
+                f"prefix of {prefix_len} tokens leaves no room to generate "
+                f"(usable target length {self.max_target_len})"
+            )
+        if config.max_gen_len > limit:
+            config = dataclasses.replace(config, max_gen_len=limit)
+        return config
+
     @staticmethod
     def materialize_beam(
         handle: "_BeamHandle",
@@ -266,21 +287,42 @@ class JitTextDecoder:
         min_gen_len: int = 1,
         seed: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        # Same prompt-aware PE cap as the beam path.
+        max_gen_len = min(max_gen_len, self.max_target_len - len(prefix_ids))
+        if max_gen_len < 1:
+            raise ValueError(
+                f"prefix of {len(prefix_ids)} tokens leaves no room to "
+                f"generate (usable target length {self.max_target_len})"
+            )
         b = memory.shape[0]
         b_pad = round_up_pow2(b)
+        if self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            b_pad = -(-b_pad // n_data) * n_data
         memory = jnp.asarray(memory)  # numpy or device array (see generate_beam)
         if b_pad != b:
             memory = jnp.concatenate(
                 [memory, jnp.zeros((b_pad - b,) + memory.shape[1:], memory.dtype)]
             )
-        prefix = np.tile(np.asarray(prefix_ids, np.int32)[None, :], (b_pad, 1))
+        prefix_j = jnp.asarray(
+            np.tile(np.asarray(prefix_ids, np.int32)[None, :], (b_pad, 1))
+        )
+        if self.mesh is not None:
+            from sonar_tpu.parallel.mesh import data_sharding
+
+            memory = jax.device_put(
+                memory, data_sharding(self.mesh, "data", None, None)
+            )
+            prefix_j = jax.device_put(
+                prefix_j, data_sharding(self.mesh, "data", None)
+            )
         key = (sampler, max_gen_len, min_gen_len, len(prefix_ids))
         if key not in self._sample_jit:
             self._sample_jit[key] = self._build_sample_fn(
                 sampler, max_gen_len, min_gen_len, len(prefix_ids)
             )
         tokens, scores, lens = self._sample_jit[key](
-            self.params, jnp.asarray(memory), jnp.asarray(prefix),
+            self.params, memory, prefix_j,
             jax.random.PRNGKey(seed), kernels_off=self._kernels_off(),
         )
         return np.asarray(tokens)[:b], np.asarray(scores)[:b], np.asarray(lens)[:b]

@@ -153,12 +153,30 @@ def sharded_cosine_topk(
 def _margin_scores(
     sim: jnp.ndarray, avg_x: jnp.ndarray, avg_y: jnp.ndarray, margin: str
 ) -> jnp.ndarray:
+    """Dense [N, M] LASER margins (bank average broadcast over columns)."""
     if margin == "ratio":
         return sim / ((avg_x[:, None] + avg_y[None, :]) / 2.0)
     if margin == "distance":
         return sim - (avg_x[:, None] + avg_y[None, :]) / 2.0
     if margin == "absolute":
         return sim
+    raise ValueError(f"unknown margin: {margin}")
+
+
+def _candidate_margins(
+    scores: np.ndarray, idx: np.ndarray, avg_q: np.ndarray,
+    avg_b: np.ndarray, margin: str,
+) -> np.ndarray:
+    """LASER margins of each query's top-k candidates ([N, k] numpy):
+    same ratio/distance/absolute definitions as ``_margin_scores`` with
+    the bank average gathered per candidate — the single definition
+    shared by ``sharded_xsim`` and ``mine_bitexts``."""
+    if margin == "ratio":
+        return scores / ((avg_q[:, None] + avg_b[idx]) / 2.0)
+    if margin == "distance":
+        return scores - (avg_q[:, None] + avg_b[idx]) / 2.0
+    if margin == "absolute":
+        return scores
     raise ValueError(f"unknown margin: {margin}")
 
 
@@ -192,14 +210,7 @@ def sharded_xsim(
     avg_y = np.asarray(s_yx).mean(axis=1)                      # [N]
     scores = np.asarray(s_xy)
     idx = np.asarray(i_xy)
-    if margin == "ratio":
-        m = scores / ((avg_x[:, None] + avg_y[idx]) / 2.0)
-    elif margin == "distance":
-        m = scores - (avg_x[:, None] + avg_y[idx]) / 2.0
-    elif margin == "absolute":
-        m = scores
-    else:
-        raise ValueError(f"unknown margin: {margin}")
+    m = _candidate_margins(scores, idx, avg_x, avg_y, margin)
     pred = idx[np.arange(len(idx)), m.argmax(axis=1)]
     return float((pred != np.arange(len(idx))).mean() * 100.0)
 
@@ -293,14 +304,7 @@ def mine_bitexts(
 
     def best(scores, idx, avg_q, avg_b):
         """Per-query best margin candidate among its cosine top-k."""
-        if margin == "ratio":
-            m = scores / ((avg_q[:, None] + avg_b[idx]) / 2.0)
-        elif margin == "distance":
-            m = scores - (avg_q[:, None] + avg_b[idx]) / 2.0
-        elif margin == "absolute":
-            m = scores
-        else:
-            raise ValueError(f"unknown margin: {margin}")
+        m = _candidate_margins(scores, idx, avg_q, avg_b, margin)
         pick = m.argmax(axis=1)
         rows = np.arange(len(idx))
         return idx[rows, pick], m[rows, pick]

@@ -196,7 +196,11 @@ def pipeline_encoder_stack(
         raise ValueError(
             f"num layers {n_layers} not divisible by stage count {n_stages}"
         )
-    m = num_microbatches or min(n_stages, x.shape[0])
+    # Default microbatch count from the LOCAL (per-data-shard) batch: the
+    # divisibility requirement applies inside shard_map, where the batch is
+    # x.shape[0] / data-axis.
+    n_data = dict(mesh.shape).get("data", 1)
+    m = num_microbatches or max(1, min(n_stages, x.shape[0] // n_data))
 
     if bias is None:
         def run_local(layers, h):
@@ -239,7 +243,11 @@ def pipeline_conformer_stack(
         raise ValueError(
             f"num layers {n_layers} not divisible by stage count {n_stages}"
         )
-    m = num_microbatches or min(n_stages, x.shape[0])
+    # Default microbatch count from the LOCAL (per-data-shard) batch: the
+    # divisibility requirement applies inside shard_map, where the batch is
+    # x.shape[0] / data-axis.
+    n_data = dict(mesh.shape).get("data", 1)
+    m = num_microbatches or max(1, min(n_stages, x.shape[0] // n_data))
 
     aux = tuple(a for a in (attn_bias, pad_mask) if a is not None)
     has_bias, has_mask = attn_bias is not None, pad_mask is not None

@@ -67,7 +67,7 @@ class PrecompiledCharsmap:
     def normalize(self, text: str) -> str:
         """Longest-match charsmap rewrite (sentencepiece Normalizer loop,
         granularity = one UTF-8 character when no match)."""
-        data = text.encode("utf-8")
+        data = utf8_bytes(text)
         out = bytearray()
         i, n = 0, len(data)
         while i < n:
@@ -93,6 +93,22 @@ class PrecompiledCharsmap:
 # ---------------------------------------------------------------------------
 # Builder (tests / tooling): keys (bytes) -> values, darts-clone layout
 # ---------------------------------------------------------------------------
+
+def utf8_bytes(text: str) -> bytes:
+    """UTF-8 bytes tolerant of lone surrogates (which a Python str can carry
+    after surrogateescape decoding of raw data). sentencepiece operates on
+    raw bytes and never crashes on invalid UTF-8, so neither may we:
+    surrogateescape restores the original byte for U+DC80-DCFF escapes;
+    any other unpaired surrogate (unencodable even by surrogateescape)
+    degrades to '?' instead of raising."""
+    try:
+        return text.encode("utf-8")
+    except UnicodeEncodeError:
+        try:
+            return text.encode("utf-8", errors="surrogateescape")
+        except UnicodeEncodeError:
+            return text.encode("utf-8", errors="replace")
+
 
 class _TrieNode:
     __slots__ = ("children", "value")

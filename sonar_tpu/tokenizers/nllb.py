@@ -18,7 +18,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Optional, Sequence, Union
 
-from sonar_tpu.models.common import VocabularyInfo
 from sonar_tpu.tokenizers.spm import (
     SentencePieceDecoder,
     SentencePieceEncoder,
@@ -44,14 +43,9 @@ class NllbTokenizer:
             self.model = SentencePieceModel(model, control_symbols)
         self.langs = list(langs)
         self.default_lang = default_lang or (langs[0] if langs else None)
-        m = self.model
-        self.vocab_info = VocabularyInfo(
-            size=len(m),
-            unk_idx=m.unk_idx,
-            bos_idx=m.bos_idx,
-            eos_idx=m.eos_idx,
-            pad_idx=m.pad_idx if m.pad_idx is not None else m.unk_idx,
-        )
+        from sonar_tpu.tokenizers.spm import vocab_info_from_sentencepiece
+
+        self.vocab_info = vocab_info_from_sentencepiece(self.model)
 
     def create_encoder(
         self,

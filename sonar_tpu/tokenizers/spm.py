@@ -27,6 +27,7 @@ import unicodedata
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Union
 
+from sonar_tpu.tokenizers.charsmap import utf8_bytes
 from sonar_tpu.tokenizers.spm_proto import (
     MODEL_BPE,
     MODEL_UNIGRAM,
@@ -68,10 +69,16 @@ class SentencePieceModel:
 
         if control_symbols:
             for sym in control_symbols:
+                if sym in self._index:
+                    # Already a vocab piece (e.g. a .model that ships its
+                    # language codes): reuse its id. Appending a duplicate
+                    # row would inflate len(model) past the checkpoint's
+                    # embedding table while the id stayed the old one.
+                    continue
                 self._pieces.append(sym)
                 self._scores.append(0.0)
                 self._types.append(PIECE_CONTROL)
-                self._index.setdefault(sym, len(self._pieces) - 1)
+                self._index[sym] = len(self._pieces) - 1
 
         # Special ids: trainer spec is authoritative; fall back to piece types.
         t = proto.trainer
@@ -332,7 +339,9 @@ class SentencePieceModel:
 
     def _fallback_ids(self, chunk: str) -> List[int]:
         if self.byte_fallback:
-            return [self._byte_ids[b] for b in chunk.encode("utf-8")]
+            # utf8_bytes: a lone surrogate must byte-fall-back to its raw
+            # byte (surrogateescape) rather than crash the encode.
+            return [self._byte_ids[b] for b in utf8_bytes(chunk)]
         return [self.unk_idx if self.unk_idx is not None else 0]
 
     def _bpe_encode(self, s: str) -> List[int]:

@@ -11,9 +11,12 @@ SONAR-TPU makes training a first-class, mesh-sharded capability:
   the frozen text space; arXiv:2308.11466 §4, evident in the reference's
   37-language per-encoder card set),
 - ``classifier_loss``: MLP-head fine-tuning on pooled embeddings,
-- ``make_train_step``: optax update jitted over a (data, model) mesh with
-  donated state; GSPMD handles DP gradients (psum over ``data``) and TP
-  matmuls (collectives over ``model``) from the sharding annotations alone.
+- ``make_train_step``: one optax update as a pure step function. Jit it
+  yourself — ``jax.jit(step, donate_argnums=(0,))`` reuses the state
+  buffers (halves peak param+opt memory; the input state becomes invalid).
+  Over a (data, model) mesh, GSPMD derives DP gradients (psum over
+  ``data``) and TP matmuls (collectives over ``model``) from the sharding
+  annotations alone.
 """
 
 from __future__ import annotations

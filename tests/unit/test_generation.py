@@ -434,3 +434,34 @@ def test_sampling_score_matches_teacher_forced_recompute():
                 lp[len(prefix) + g - 1, seq[len(prefix) + g]] for g in range(L)
             )
             np.testing.assert_allclose(float(sc[i]), want, atol=1e-3), (temp, i)
+
+
+def test_gen_len_capped_by_pe_table():
+    """prompt + generation must fit the usable PE rows: an oversized
+    max_gen_len is capped (fairseq2 clamps the generator the same way,
+    reference text.py:102-107) instead of silently reading clamped
+    (repeated) PE rows; an over-long prompt raises."""
+    dec, params = _tiny_decoder()
+    eos = dec.config.vocab_info.eos_idx
+    runtime = JitTextDecoder(dec, params)
+    mem = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(0), (1, 1, dec.config.model_dim))
+    )
+    limit = runtime.max_target_len
+    prefix = [eos, 5]
+    big = BeamSearchConfig(beam_size=2, max_gen_len=limit + 50,
+                           min_gen_len=limit + 50)
+    toks, _, lens = runtime.generate_beam(mem, prefix, big)
+    assert int(lens[0, 0]) <= limit - len(prefix) + 1
+    assert toks.shape[-1] <= limit - len(prefix) + 1
+
+    s_toks, _, s_lens = runtime.generate_sample(
+        mem, prefix, TopKSampler(k=1), max_gen_len=limit + 50,
+        min_gen_len=limit + 50,
+    )
+    assert int(s_lens[0]) <= limit - len(prefix) + 1
+
+    with pytest.raises(ValueError, match="no room"):
+        runtime.generate_beam(
+            mem, [eos] * (limit + 1), BeamSearchConfig(beam_size=2, max_gen_len=4)
+        )

@@ -283,3 +283,20 @@ def test_pp_rejects_indivisible_layers():
             activation=cfg.activation_fn,
             mesh=mesh,
         )
+
+
+def test_pp_default_microbatches_uses_local_batch():
+    """Default num_microbatches must come from the per-data-shard LOCAL
+    batch: global B=8 on a data=4 x stage=2 mesh has local batch 2, so the
+    old global default (min(stages, 8) with B_loc=2) asserted; the correct
+    default schedules m=2 and matches single-device."""
+    model, params = _toy(4)
+    rng = np.random.default_rng(5)
+    seqs = jnp.asarray(rng.integers(4, 1000, size=(8, 10)), jnp.int32)
+    lens = jnp.asarray(rng.integers(3, 11, size=(8,)), jnp.int32)
+    want = model.apply(params, seqs, lens).sentence_embeddings
+
+    mesh = make_pipeline_mesh(stage=2, data=4)
+    placed = jax.device_put(params, pipeline_param_shardings(params, mesh))
+    got = pipeline_text_encode(model, placed, seqs, lens, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

@@ -199,3 +199,39 @@ def test_nllb_unknown_language_raises(tmp_path):
     # supported languages still work
     enc = tok.create_encoder(lang="eng_Latn")
     assert enc("hello")[0] == tok.model.piece_to_id("eng_Latn")
+
+
+def test_lone_surrogates_never_crash(tmp_path):
+    """Strings carrying lone surrogates (surrogateescape'd raw data) must
+    encode without crashing on every model flavor — NFKC fallback,
+    precompiled charsmap, byte fallback — in both single and batch paths,
+    with batch == single."""
+    from sonar_tpu.tokenizers.charsmap import build_charsmap
+
+    bad = ["ok", "tail\udcff", "\ud800mid", "a\udc80b\ud900c"]
+
+    plain = build_toy_spm(tmp_path)
+    bf = build_toy_spm(tmp_path, byte_fallback=True)
+    proto = build_toy_spm_proto()
+    proto.normalizer.precompiled_charsmap = build_charsmap({"X": "hello"})
+    cm = SentencePieceModel(serialize_model_proto(proto))
+
+    for m in (plain, bf, cm):
+        single = [m.encode(t) for t in bad]
+        batch = m.encode_batch(bad)
+        assert batch == single
+        assert all(isinstance(i, int) for ids in batch for i in ids)
+
+
+def test_duplicate_control_symbols_reuse_ids():
+    """A control symbol already present as a piece must reuse its id, not
+    append a duplicate row (len(model) must keep matching the checkpoint's
+    embedding table)."""
+    proto = build_toy_spm_proto()
+    base = SentencePieceModel(serialize_model_proto(proto))
+    existing = base.piece_of(5) if hasattr(base, "piece_of") else base._pieces[5]
+    m = SentencePieceModel(
+        serialize_model_proto(proto), control_symbols=[existing, "<NEW_CTL>"]
+    )
+    assert len(m) == len(base) + 1  # only the genuinely new symbol appended
+    assert m._index[existing] == 5
