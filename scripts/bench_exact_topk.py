@@ -72,7 +72,7 @@ def main():
                     cand = scores[:, :, None] + lp
                     top_s, top_i = jax.lax.top_k(cand.reshape(B, K * V), 2 * K)
                     upd = (top_s.sum() * 1e-9 + top_i.sum() * 1e-12)
-                    return (x + upd.astype(x.dtype), scores + top_s * 1e-9), None
+                    return (x + upd.astype(x.dtype), scores + top_s[:, :K] * 1e-9), None
                 (x, s), _ = jax.lax.scan(body, (x, scores0), None, length=iters)
                 return x[:2, :8] + s.sum() * 0 + s[:1, :1]
             return run
@@ -92,8 +92,9 @@ def main():
                         lp = row_s.reshape(B, K, w0) - lse[:, :, None]
                         cand = scores[:, :, None] + lp
                         top_s, pos = jax.lax.top_k(cand.reshape(B, -1), 2 * K)
-                        upd = (top_s.sum() * 1e-9 + row_i.sum() * 1e-12)
-                        return (x + upd.astype(x.dtype), scores + top_s * 1e-9), None
+                        upd = (top_s.sum() * 1e-9 + row_i.sum() * 1e-12
+                               + pos.sum() * 1e-12)
+                        return (x + upd.astype(x.dtype), scores + top_s[:, :K] * 1e-9), None
                     (x, s), _ = jax.lax.scan(body, (x, scores0), None, length=iters)
                     return x[:2, :8] + s[:1, :1]
                 return run
