@@ -33,6 +33,11 @@ import time
 import jax
 import numpy as np
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.expanduser("~/.cache/sonar_tpu_xla"),

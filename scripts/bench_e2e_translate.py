@@ -96,27 +96,42 @@ def main() -> None:
                        batch_size=BATCH, max_gen_len=MAX_GEN, approx_topk=True)
     print(f"# warm pass {time.perf_counter() - t0:.1f}s ({len(out)} translations)")
 
-    rates, tok_rates = [], []
-    for seed in (2, 3, 4):
-        sents = synthetic_text(random.Random(seed), N_SENTENCES, words)
-        t0 = time.perf_counter()
-        out = pipe.predict(sents, source_lang="eng_Latn",
-                           target_lang="lng000_Latn", batch_size=BATCH,
-                           max_gen_len=MAX_GEN, approx_topk=True)
-        dt = time.perf_counter() - t0
-        assert len(out) == N_SENTENCES and all(isinstance(t, str) for t in out)
-        # Random weights decode to max_gen_len essentially always, so the
-        # generated-token count is ~N*MAX_GEN; report both rates.
-        rates.append(N_SENTENCES / dt)
-        tok_rates.append(N_SENTENCES * MAX_GEN / dt)
-        print(f"# pass seed={seed}: {rates[-1]:.1f} sents/s, "
-              f"~{tok_rates[-1]:.0f} tok/s e2e ({dt:.1f}s)")
+    # Warm the exact mode too (separate trace: approx_topk is a static arg).
+    t0 = time.perf_counter()
+    pipe.predict(warm, source_lang="eng_Latn", target_lang="lng000_Latn",
+                 batch_size=BATCH, max_gen_len=MAX_GEN, approx_topk=False)
+    print(f"# warm pass (exact) {time.perf_counter() - t0:.1f}s")
 
-    print(
-        f"end-to-end translate (beam 5, gen {MAX_GEN}, B={BATCH}): "
-        f"{np.median(rates):.1f} sents/s, ~{np.median(tok_rates):.0f} tok/s "
-        f"(median of {len(rates)}; incl. tokenize/encode/detokenize)"
-    )
+    # A/B interleaved in one process (tunnel measurement rules).
+    rates = {True: [], False: []}
+    tok_rates = {True: [], False: []}
+    for seed in (2, 3, 4):
+        for approx in (True, False):
+            sents = synthetic_text(random.Random(seed), N_SENTENCES, words)
+            t0 = time.perf_counter()
+            out = pipe.predict(sents, source_lang="eng_Latn",
+                               target_lang="lng000_Latn", batch_size=BATCH,
+                               max_gen_len=MAX_GEN, approx_topk=approx)
+            dt = time.perf_counter() - t0
+            assert len(out) == N_SENTENCES and all(
+                isinstance(t, str) for t in out
+            )
+            # Random weights decode to max_gen_len essentially always, so
+            # the generated-token count is ~N*MAX_GEN; report both rates.
+            rates[approx].append(N_SENTENCES / dt)
+            tok_rates[approx].append(N_SENTENCES * MAX_GEN / dt)
+            print(f"# pass seed={seed} approx={approx}: "
+                  f"{rates[approx][-1]:.1f} sents/s, "
+                  f"~{tok_rates[approx][-1]:.0f} tok/s e2e ({dt:.1f}s)")
+
+    for approx in (True, False):
+        mode = "approx" if approx else "exact"
+        print(
+            f"end-to-end translate (beam 5, gen {MAX_GEN}, B={BATCH}, "
+            f"{mode}): {np.median(rates[approx]):.1f} sents/s, "
+            f"~{np.median(tok_rates[approx]):.0f} tok/s "
+            f"(median of {len(rates[approx])}; incl. tokenize/encode/detok)"
+        )
 
 
 if __name__ == "__main__":

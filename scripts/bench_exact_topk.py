@@ -5,8 +5,11 @@ over the NLLB-scale vocab (V=256206), N = B*K rows:
 
   old    — full [N,V] log-softmax, [B,K,V] cumulative add, flat
            lax.top_k over [B, K*V]        (the pre-r4 exact path)
-  new    — raw-logits lse + blocked exact_top_k_wide(w0) + 2K merge
-           (the current exact default), block-size sweep
+  new    — raw-logits lse + block-max-gather exact_top_k_wide(w0) + 2K
+           merge (the current exact default), block-size sweep.
+           r4-late chip points, two-stage per-block-top-k revision (for
+           the record): 18.7/23.0/25.6/29.3 ms at bs=2048/4096/8192/16384,
+           B=32 (6.1x over old at best)
   approx — raw-logits lse + lax.approx_max_k(w0) + 2K merge
            (the approx_topk serving mode, for reference)
 
@@ -100,10 +103,10 @@ def main():
                 return run
             return make
 
-        for bs in (2048, 4096, 8192, 16384):
+        for bs in (256, 512, 1024, 2048):
             t = slope(make_sel(
                 lambda a, k, bs=bs: exact_top_k_wide(a, k, block_size=bs)), x0)
-            print(f"new exact blocked (bs={bs}): {t*1e3:.2f} ms/step "
+            print(f"exact block-max gather (bs={bs}): {t*1e3:.2f} ms/step "
                   f"({t_old/t:.1f}x vs old)")
 
         t = slope(make_sel(jax.lax.approx_max_k), x0)

@@ -82,10 +82,12 @@ def cosine_topk(
             s, i = jax.lax.approx_max_k(sim, kb)
             i = i.astype(jnp.int32)
         else:
-            # Sub-blocked exact selection: sorting 1024-wide segments + a
-            # k-from-(8k) merge instead of one block_size-wide sort, same
-            # values/indices/tie order (ops/topk.exact_top_k_wide).
-            s, i = exact_top_k_wide(sim, kb, block_size=1024)
+            # Block-max-gather exact selection: pick the top-kb 256-wide
+            # sub-blocks by max and sort only those, same values/indices/
+            # tie order as one block_size-wide sort
+            # (ops/topk.exact_top_k_wide). 256 keeps the gathered width
+            # (kb*256) well under the bank-block width at mining k's.
+            s, i = exact_top_k_wide(sim, kb, block_size=256)
         cat_s = jnp.concatenate([best_s, s], axis=1)
         cat_i = jnp.concatenate([best_i, base + i], axis=1)
         ns, pos = jax.lax.top_k(cat_s, k)
