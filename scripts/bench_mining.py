@@ -55,19 +55,29 @@ def main():
         ("fp32 exact ", None, False),
         ("bf16 exact ", jnp.bfloat16, False),
         ("bf16 approx", jnp.bfloat16, True),
+        ("int8 exact ", "int8", False),
+        ("int8 approx", "int8", True),
     ):
         dt = run(dt_, banks, ap)
         print(f"{name}: {dt*1e3:6.0f} ms per {N}x{M} pass  "
               f"({N/dt:,.0f} src rows/s, {flops/dt/1e12:.1f} TFLOPS)",
               flush=True)
-    # recall of approx vs exact on one pair
-    s_e, i_e = jax.jit(lambda q, b: cosine_topk(q, b, K))(*banks[0])
-    s_a, i_a = jax.jit(
-        lambda q, b: cosine_topk(q, b, K, dot_dtype=jnp.bfloat16, approx=True)
-    )(*banks[0])
-    ie, ia = np.asarray(i_e), np.asarray(i_a)
-    recall = np.mean([len(set(a) & set(b)) / K for a, b in zip(ie, ia)])
-    print(f"approx top-{K} recall vs exact: {recall:.4f}")
+    # recall of the fast modes vs fp32 exact on one pair
+    _, i_e = jax.jit(lambda q, b: cosine_topk(q, b, K))(*banks[0])
+    ie = np.asarray(i_e)
+    for name, dt_, ap in (
+        ("bf16 approx", jnp.bfloat16, True),
+        ("int8 exact ", "int8", False),
+        ("int8 approx", "int8", True),
+    ):
+        _, i_a = jax.jit(
+            lambda q, b: cosine_topk(q, b, K, dot_dtype=dt_, approx=ap)
+        )(*banks[0])
+        ia = np.asarray(i_a)
+        recall = np.mean([len(set(a) & set(b)) / K for a, b in zip(ie, ia)])
+        top1 = float((ie[:, 0] == ia[:, 0]).mean())
+        print(f"{name} top-{K} recall vs fp32 exact: {recall:.4f} "
+              f"(top-1 {top1:.4f})")
 
 
 if __name__ == "__main__":

@@ -22,11 +22,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from sonar_tpu.ops.topk import exact_top_k_wide
-
 
 def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def _quant_rows_int8(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row symmetric int8: [N, D] fp32 -> (int8 [N, D], fp32 [N, 1])."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
 
 
 def cosine_topk(
@@ -49,7 +55,11 @@ def cosine_topk(
     ``dot_dtype=jnp.bfloat16`` runs the similarity matmul on the MXU's
     native bf16 path (fp32 accumulation) — ~2x on TPU, with similarity
     error ~1e-2 of rank-relevant margin; the fp32 default keeps rankings
-    bit-stable for parity work.
+    bit-stable for parity work. ``dot_dtype="int8"`` quantizes both banks
+    per-row (symmetric, 127 levels over each row's absmax — rows are
+    L2-normalized so the scale is tight) and runs the packed-int8 MXU dot
+    with int32 accumulation, rescaling to fp32 similarities; selection and
+    the cross-block merge are unchanged.
 
     ``approx=True`` selects per-block candidates with ``lax.approx_max_k``
     (the TPU-native reduction) instead of the sort-based exact ``top_k`` —
@@ -59,35 +69,53 @@ def cosine_topk(
     """
     q = l2_normalize(queries.astype(jnp.float32))
     b = l2_normalize(bank.astype(jnp.float32))
-    if dot_dtype is not None:
+    int8_dot = dot_dtype in ("int8", jnp.int8)
+    if int8_dot:
+        q, q_scale = _quant_rows_int8(q)
+        b, b_scale = _quant_rows_int8(b)
+    elif dot_dtype is not None:
         q, b = q.astype(dot_dtype), b.astype(dot_dtype)
     n, m = queries.shape[0], bank.shape[0]
     block = min(block_size, m)
     nblocks = -(-m // block)
     if nblocks * block != m:
+        pad_rows = nblocks * block - m
         b = jnp.concatenate(
-            [b, jnp.zeros((nblocks * block - m, b.shape[1]), b.dtype)], axis=0
+            [b, jnp.zeros((pad_rows, b.shape[1]), b.dtype)], axis=0
         )
+        if int8_dot:
+            b_scale = jnp.concatenate(
+                [b_scale, jnp.full((pad_rows, 1), 1e-12, jnp.float32)], axis=0
+            )
     kb = min(k, block)
 
     def body(carry, xs):
         best_s, best_i = carry
-        blk, base = xs
-        sim = jnp.einsum(
-            "nd,md->nm", q, blk, preferred_element_type=jnp.float32
-        )
+        if int8_dot:
+            blk, blk_scale, base = xs
+            sim = jax.lax.dot_general(
+                q, blk,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * q_scale * blk_scale[:, 0][None, :]
+        else:
+            blk, base = xs
+            sim = jnp.einsum(
+                "nd,md->nm", q, blk, preferred_element_type=jnp.float32
+            )
         gi = base + jnp.arange(block, dtype=jnp.int32)
         sim = jnp.where(gi[None, :] < m, sim, -jnp.inf)
         if approx:
             s, i = jax.lax.approx_max_k(sim, kb)
             i = i.astype(jnp.int32)
         else:
-            # Block-max-gather exact selection: pick the top-kb 256-wide
-            # sub-blocks by max and sort only those, same values/indices/
-            # tie order as one block_size-wide sort
-            # (ops/topk.exact_top_k_wide). 256 keeps the gathered width
-            # (kb*256) well under the bank-block width at mining k's.
-            s, i = exact_top_k_wide(sim, kb, block_size=256)
+            # Plain sort-based top_k: at mining shapes (many rows x 8k
+            # width) it beats the block-max-gather selector that wins at
+            # decode shapes (few rows x 256k width) — the middle-axis
+            # candidate gather dominates there. Chip A/B at [65536, 8192]
+            # top-8: top_k 87-94 ms vs gather 112 (bs=256) / 143 (bs=512+)
+            # (scripts/bench_mining_select.py).
+            s, i = jax.lax.top_k(sim, kb)
         cat_s = jnp.concatenate([best_s, s], axis=1)
         cat_i = jnp.concatenate([best_i, base + i], axis=1)
         ns, pos = jax.lax.top_k(cat_s, k)
@@ -99,9 +127,12 @@ def cosine_topk(
         jnp.zeros((n, k), jnp.int32),
     )
     bases = (jnp.arange(nblocks, dtype=jnp.int32) * block)
-    (s, i), _ = jax.lax.scan(
-        body, init, (b.reshape(nblocks, block, -1), bases)
-    )
+    if int8_dot:
+        xs = (b.reshape(nblocks, block, -1),
+              b_scale.reshape(nblocks, block, 1), bases)
+    else:
+        xs = (b.reshape(nblocks, block, -1), bases)
+    (s, i), _ = jax.lax.scan(body, init, xs)
     return s, i
 
 
@@ -111,8 +142,12 @@ def sharded_cosine_topk(
     k: int,
     mesh: Mesh,
     axis: str = "data",
+    dot_dtype=None,
+    approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Bank sharded over ``axis``; queries replicated. Exact global top-k.
+    """Bank sharded over ``axis``; queries replicated. Exact global top-k
+    (for the default fp32/exact settings; ``dot_dtype``/``approx`` trade
+    exactness for throughput exactly as in ``cosine_topk``).
 
     Local top-k per shard, then all_gather of the k candidates and a merge —
     the collective moves N*k*n_dev scores instead of N*M.
@@ -128,7 +163,9 @@ def sharded_cosine_topk(
 
     def local(q, b_shard):
         idx = jax.lax.axis_index(axis)
-        scores, indices = cosine_topk(q, b_shard, k)
+        scores, indices = cosine_topk(
+            q, b_shard, k, dot_dtype=dot_dtype, approx=approx
+        )
         # Padded rows are zero vectors -> cosine 0; mask by global index.
         gidx = indices + idx * shard
         scores = jnp.where(gidx < m, scores, -jnp.inf)
@@ -266,6 +303,7 @@ def mine_bitexts(
     mesh: Optional[Mesh] = None,
     axis: str = "data",
     approx: bool = False,
+    dot_dtype=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """LASER-style margin-based bitext mining over the SONAR space.
 
@@ -274,9 +312,10 @@ def mine_bitexts(
     LASER tooling — here it is native and mesh-scalable. Candidates come
     from cosine top-k in both directions (sharded over ``mesh``'s ``axis``
     when given, blocked single-device otherwise; ``approx=True`` uses the
-    TPU-native ``approx_max_k`` per block), margin scores follow the LASER
-    definition (ratio/distance/absolute over k-NN-average neighborhoods),
-    and pairs are selected by ``strategy``:
+    TPU-native ``approx_max_k`` per block, ``dot_dtype`` selects the
+    similarity matmul precision — see ``cosine_topk``), margin scores
+    follow the LASER definition (ratio/distance/absolute over
+    k-NN-average neighborhoods), and pairs are selected by ``strategy``:
 
     - ``'forward'``: each x row proposes its best-margin y candidate,
     - ``'backward'``: each y row proposes its best-margin x candidate,
@@ -294,11 +333,19 @@ def mine_bitexts(
     k = min(k, xq.shape[0], yq.shape[0])
 
     if mesh is not None:
-        s_xy, i_xy = sharded_cosine_topk(xq, yq, k, mesh, axis)
-        s_yx, i_yx = sharded_cosine_topk(yq, xq, k, mesh, axis)
+        s_xy, i_xy = sharded_cosine_topk(
+            xq, yq, k, mesh, axis, dot_dtype=dot_dtype, approx=approx
+        )
+        s_yx, i_yx = sharded_cosine_topk(
+            yq, xq, k, mesh, axis, dot_dtype=dot_dtype, approx=approx
+        )
     else:
-        s_xy, i_xy = cosine_topk(xq, yq, k, approx=approx)
-        s_yx, i_yx = cosine_topk(yq, xq, k, approx=approx)
+        s_xy, i_xy = cosine_topk(
+            xq, yq, k, dot_dtype=dot_dtype, approx=approx
+        )
+        s_yx, i_yx = cosine_topk(
+            yq, xq, k, dot_dtype=dot_dtype, approx=approx
+        )
     s_xy, i_xy = np.asarray(s_xy), np.asarray(i_xy)
     s_yx, i_yx = np.asarray(s_yx), np.asarray(i_yx)
     avg_x = s_xy.mean(axis=1)                            # [Nx]

@@ -121,6 +121,29 @@ def test_cosine_topk_blocked_matches_dense():
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
 
 
+def test_cosine_topk_int8_dot():
+    """int8 dot mode: per-row quantized similarities track fp32 closely
+    and recover strong (near-duplicate) neighbors exactly; the ragged
+    final block's zero-row padding stays excluded."""
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(32, 64)).astype(np.float32))
+    dup = np.asarray(q) + 0.05 * rng.normal(size=(32, 64))
+    bank = jnp.asarray(
+        np.concatenate([rng.normal(size=(169, 64)), dup]).astype(np.float32)
+    )
+    want_s, want_i = cosine_topk(q, bank, 4)
+    got_s, got_i = cosine_topk(q, bank, 4, dot_dtype="int8", block_size=64)
+    # quantization error on L2-normalized rows stays ~1e-2
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(want_s), atol=2e-2
+    )
+    # the near-duplicate (top-1, large margin) is found exactly
+    np.testing.assert_array_equal(
+        np.asarray(got_i)[:, 0], np.asarray(want_i)[:, 0]
+    )
+    assert int(np.asarray(got_i).max()) < bank.shape[0]
+
+
 def test_sharded_cosine_topk_matches_dense():
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
