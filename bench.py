@@ -1,11 +1,25 @@
 """SONAR-TPU benchmark: text-encode throughput on one TPU chip.
 
-Prints ONE JSON line:
+Prints ONE final JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+plus ``#``-prefixed context lines covering the other two BASELINE.json
+north-star metrics (speech-encode RTFx, p50 beam-decode latency), so every
+round's driver record carries all three numbers.
 
 Baseline = the BASELINE.json north-star of 10,000 sentences/sec/chip for
 SONAR ``basic`` text encoding on TPU v5e (the reference publishes no
 throughput numbers; SURVEY §6).
+
+Fault tolerance (the r3 record was lost to one transient tunnel error): the
+top-level process is a supervisor that never touches the chip itself. It
+(1) probes the device with a tiny jitted op in a subprocess under a 90 s
+timeout (the CLAUDE.md rule), retrying with backoff; (2) runs the actual
+measurement in a child process with a deadline and one full retry; (3) if
+everything fails, emits a valid JSON line with ``"value": 0`` and an
+``"error"`` field instead of a bare traceback. The child additionally wraps
+each compile/measure phase in bounded retries for transient tunnel faults
+(e.g. ``remote_compile: response body closed``).
 
 Workload: the deployment path — a synthetic corpus with an NLLB-like
 tokenized-length distribution (lognormal, median ~18 tokens, clipped to
@@ -13,7 +27,8 @@ tokenized-length distribution (lognormal, median ~18 tokens, clipped to
 static shape buckets, encoded by the full 24-layer 1024-d encoder in the
 int8 serving mode (fused QKV + dynamic-activation int8; embedding cosine
 0.9999 vs bf16 — within the >=0.999 parity budget).
-``SONAR_TPU_BENCH_PRECISION=bf16`` switches precision.
+``SONAR_TPU_BENCH_PRECISION=bf16`` switches precision;
+``SONAR_TPU_BENCH_AUX=0`` skips the speech/decode aux metrics.
 
 Timing is dependency-safe for the tunneled device: distinct batches, device
 dispatch loop, full host materialization (see CLAUDE.md: identical-args
@@ -24,19 +39,134 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+METRIC = "text_encode_sentences_per_sec_per_chip"
+BASELINE_SENTS_PER_SEC = 10_000.0
 
-# Persistent XLA compile cache: the fine-grained bucket set below costs ~20
-# shapes; first run compiles them once, every later run starts hot.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.expanduser("~/.cache/sonar_tpu_xla"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# ---------------------------------------------------------------------------
+# Supervisor (default entry): probe -> child -> guaranteed JSON line.
+# ---------------------------------------------------------------------------
+
+_PROBE_CODE = """
+import jax, jax.numpy as jnp, numpy as np
+x = jax.jit(lambda a: (a + 1.0).sum())(jnp.arange(64, dtype=jnp.float32))
+assert abs(float(np.asarray(x)) - 2080.0) < 1.0, x
+print("probe-ok", flush=True)
+"""
+
+
+def _probe_once(timeout: float = 90.0):
+    """Tiny jitted op in a throwaway process; True iff the chip answered."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            timeout=timeout, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout:.0f}s"
+    if r.returncode == 0 and "probe-ok" in r.stdout:
+        return True, ""
+    tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
+    return False, " | ".join(tail)[:400]
+
+
+def _probe(attempts: int = 3):
+    err = ""
+    for i in range(attempts):
+        ok, err = _probe_once()
+        if ok:
+            return True, ""
+        wait = 15.0 * (i + 1)
+        print(f"# chip probe failed (attempt {i + 1}/{attempts}): {err}; "
+              f"retrying in {wait:.0f}s", flush=True)
+        if i + 1 < attempts:
+            time.sleep(wait)
+    return False, err
+
+
+def _emit_failure(reason: str) -> None:
+    print(json.dumps({
+        "metric": METRIC, "value": 0.0, "unit": "sentences/s",
+        "vs_baseline": 0.0, "error": reason[:500],
+    }), flush=True)
+
+
+def supervise() -> int:
+    deadline = float(os.environ.get("SONAR_TPU_BENCH_TIMEOUT", 3300))
+    attempts = int(os.environ.get("SONAR_TPU_BENCH_ATTEMPTS", 2))
+    last_err = "unknown"
+    for attempt in range(attempts):
+        ok, err = _probe()
+        if not ok:
+            # Tunnel stalls have been observed to last several minutes
+            # (CLAUDE.md): a failed probe burns this attempt and cools down
+            # rather than giving up — the next attempt re-probes.
+            last_err = f"tpu unreachable (tiny-op probe x3): {err}"
+            print(f"# {last_err}; cooling down 120s "
+                  f"(attempt {attempt + 1}/{attempts})", flush=True)
+            if attempt + 1 < attempts:
+                time.sleep(120.0)
+            continue
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        timer = threading.Timer(deadline, proc.kill)
+        timer.start()
+        saw_json = False
+        try:
+            assert proc.stdout is not None
+            for line in proc.stdout:
+                print(line, end="", flush=True)
+                if line.startswith("{"):
+                    saw_json = True
+            proc.wait()
+        finally:
+            timer.cancel()
+        if saw_json:
+            return 0
+        last_err = (f"measurement child exited rc={proc.returncode} "
+                    f"without a result (attempt {attempt + 1}/{attempts})")
+        print(f"# {last_err}", flush=True)
+    _emit_failure(last_err)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# Measurement child (runs with --child; the only process that uses the chip).
+# ---------------------------------------------------------------------------
+
+def _with_retries(fn, what: str, attempts: int = 3, base_delay: float = 10.0):
+    """Bounded retries for transient tunnel faults during a phase."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — tunnel faults are generic
+            if i + 1 == attempts:
+                raise
+            print(f"# transient error in {what} "
+                  f"(attempt {i + 1}/{attempts}): {type(e).__name__}: "
+                  f"{str(e)[:200]}; retrying in {base_delay * (i + 1):.0f}s",
+                  flush=True)
+            time.sleep(base_delay * (i + 1))
+
+
+def _setup_jax():
+    import jax
+
+    # Persistent XLA compile cache: the fine-grained bucket set below costs
+    # ~20 shapes; first run compiles them once, every later run starts hot.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/sonar_tpu_xla"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return jax
+
 
 # Defaults chip-tuned (r2): 32k sentences amortize per-dispatch overhead as
 # sustained serving would, and the 26-bucket set cuts padding waste
@@ -65,19 +195,24 @@ if _BUCKET_SPEC not in _BUCKET_SETS and not (
     )
 LEN_BUCKETS = _BUCKET_SETS.get(_BUCKET_SPEC)
 WARMUP_BATCHES = 6
-BASELINE_SENTS_PER_SEC = 10_000.0
 VOCAB = 256_000
 
 
 def synthetic_corpus(rng, n):
     """Tokenized lengths ~ lognormal (median ~18), FLORES-like sentences."""
+    import numpy as np
+
     lens = np.clip(np.rint(rng.lognormal(mean=2.9, sigma=0.55, size=n)), 4, 126).astype(
         np.int32
     )
     return [rng.integers(4, VOCAB, size=int(l)).astype(np.int32) for l in lens]
 
 
-def main() -> None:
+def measure_text_encode() -> float:
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
     from sonar_tpu.inference_pipelines.text import JitTextEncoder
     from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
 
@@ -85,11 +220,14 @@ def main() -> None:
     model = SonarTextEncoder(config, dtype=jnp.bfloat16)
     precision = os.environ.get("SONAR_TPU_BENCH_PRECISION", "int8")
 
-    params = jax.jit(
-        lambda key: jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16), model.init_params(key)
-        )
-    )(jax.random.PRNGKey(0))
+    params = _with_retries(
+        lambda: jax.jit(
+            lambda key: jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16), model.init_params(key)
+            )
+        )(jax.random.PRNGKey(0)),
+        "param init compile",
+    )
     # JitTextEncoder applies fuse_qkv/int8 and stacks same-shape batches into
     # one scanned dispatch of 8 (amortizes the per-dispatch round-trip).
     encoder = JitTextEncoder(
@@ -123,13 +261,14 @@ def main() -> None:
     real = sum(int(b.seq_lens.sum()) for b in passes[0])
     padded = sum(b.seqs.size for b in passes[0])
     print(f"# padding waste: {(1 - real / padded) * 100:.1f}% "
-          f"({len(set(b.seqs.shape for b in passes[0]))} shapes)")
+          f"({len(set(b.seqs.shape for b in passes[0]))} shapes)", flush=True)
 
     # Warm every compiled shape (stacked + single per bucket) out of the
     # timed region: untimed full passes (compiles are minutes on a tunneled
     # chip; the persistent cache keeps later runs hot).
-    for p in passes:
-        encoder.encode_batches(p, materialize=False)
+    for i, p in enumerate(passes):
+        _with_retries(lambda p=p: encoder.encode_batches(p, materialize=False),
+                      f"warmup pass {i}")
 
     # Chip throughput: every dispatch forced to full completion through a
     # per-result checksum (all elements consumed on device, 4 bytes cross the
@@ -152,8 +291,8 @@ def main() -> None:
         np.asarray(jnp.stack(sums))  # one [n_dispatch] download
         return total
 
-    for p in passes:  # warm the checksum/stack shapes too
-        run_pass(p)
+    for i, p in enumerate(passes):  # warm the checksum/stack shapes too
+        _with_retries(lambda p=p: run_pass(p), f"checksum warmup pass {i}")
 
     rates = []
     for batches in passes:
@@ -165,21 +304,166 @@ def main() -> None:
     outs = encoder.encode_batches(passes[0])
     n0 = sum(o.shape[0] for o in outs)
     host_rate = n0 / (time.perf_counter() - t0)
-    print(f"# host-delivery (incl. tunnel D2H at ~25 MB/s): {host_rate:.0f} sentences/s")
+    print(f"# host-delivery (incl. tunnel D2H at ~25 MB/s): {host_rate:.0f} "
+          f"sentences/s", flush=True)
+    print(f"# passes: {[round(r) for r in rates]}", flush=True)
+    return sorted(rates)[len(rates) // 2]
 
-    sents_per_sec = sorted(rates)[len(rates) // 2]
-    print(f"# passes: {[round(r) for r in rates]}")
+
+def measure_speech_rtfx() -> None:
+    """Speech-encode device RTFx, slope-timed (methodology of
+    scripts/bench_speech_slope.py): jit(lax.scan) over fused fbank+Conformer
+    forward at two scan lengths; per-batch device time is the slope, which
+    cancels the tunnel's fixed per-dispatch cost."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sonar_tpu.models.sonar_speech import (
+        SonarSpeechEncoder,
+        sonar_speech_encoder_archs,
+    )
+    from sonar_tpu.ops.fbank import FbankConfig, batched_fbank, num_frames
+
+    B, SECONDS, SR = 8, 10, 16000
+    I1, I2, PASSES = 2, 6, 3
+    model = SonarSpeechEncoder(
+        sonar_speech_encoder_archs.get("english"), dtype=jnp.bfloat16
+    )
+    params = _with_retries(
+        lambda: jax.jit(lambda k: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), model.init_params(k)
+        ))(jax.random.PRNGKey(0)),
+        "speech param init",
+    )
+    rng = np.random.default_rng(0)
+    waves = jnp.asarray(
+        rng.normal(size=(B, SECONDS * SR)).astype(np.float32) * 0.1
+    )
+    fb_cfg = FbankConfig()
+    max_frames = num_frames(SECONDS * SR, fb_cfg)
+    lens_in = jnp.full((B,), SECONDS * SR, jnp.int32)
+
+    def make(iters):
+        @jax.jit
+        def run(p, w):
+            def body(carry, _):
+                fb, _lens = batched_fbank(carry, lens_in, max_frames, fb_cfg)
+                emb = model.apply(p, fb).sentence_embeddings
+                mix = (emb.astype(jnp.float32).sum() * 1e-9).astype(carry.dtype)
+                return carry + mix, None
+
+            w, _ = jax.lax.scan(body, w, None, length=iters)
+            return w[:2, :8]
+
+        return run
+
+    times = {}
+    for iters in (I1, I2):
+        run = make(iters)
+        _with_retries(lambda r=run: np.asarray(r(params, waves)),
+                      f"speech warmup scan{iters}")
+        ts = []
+        for _ in range(PASSES):
+            t0 = time.perf_counter()
+            np.asarray(run(params, waves))
+            ts.append(time.perf_counter() - t0)
+        times[iters] = sorted(ts)[len(ts) // 2]
+    t = (times[I2] - times[I1]) / (I2 - I1)
+    rtfx = B * SECONDS / t
+    print("# " + json.dumps({
+        "metric": "speech_encode_rtfx", "value": round(rtfx, 0),
+        "unit": "x realtime/chip",
+        "detail": f"slope-timed, B={B}x{SECONDS}s, {t * 1e3:.1f} ms/batch, "
+                  f"english arch bf16",
+    }), flush=True)
+
+
+def measure_decode_p50() -> None:
+    """p50 beam-decode latency in the parity-exact serving mode: full
+    generate_beam (prefill + while_loop + finalization as one program),
+    per-step cost as the slope between two max_gen_lens, p50 wall over
+    distinct-input passes at gen=32."""
+    jax = _setup_jax()
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from sonar_tpu.generation.beam_search import BeamSearchConfig
+    from sonar_tpu.generation.decoder_runtime import JitTextDecoder
+    from sonar_tpu.models.sonar_text import sonar_text_decoder_archs
+    from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
+
+    B, K, G1, G2, PASSES = 64, 5, 8, 32, 5
+    model = ConditionalTransformerDecoder(
+        sonar_text_decoder_archs.get("basic"), dtype=jnp.bfloat16
+    )
+    params = _with_retries(
+        lambda: jax.jit(lambda k: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), model.init_params(k)
+        ))(jax.random.PRNGKey(0)),
+        "decoder param init",
+    )
+    runtime = JitTextDecoder(model, params)
+    rng = np.random.default_rng(0)
+    times = {}
+    for gen in (G1, G2):
+        config = BeamSearchConfig(beam_size=K, max_gen_len=gen,
+                                  min_gen_len=gen, approx_topk=False)
+        mems = [rng.normal(size=(B, 1, 1024)).astype(np.float32)
+                for _ in range(PASSES + 1)]
+        _with_retries(
+            lambda m=mems[0], c=config: runtime.generate_beam(m, [3, 256002], c),
+            f"beam gen{gen} compile",
+        )
+        ts = []
+        for m in mems[1:]:
+            t0 = time.perf_counter()
+            runtime.generate_beam(m, [3, 256002], config)
+            ts.append(time.perf_counter() - t0)
+        times[gen] = sorted(ts)[len(ts) // 2]
+    step_ms = (times[G2] - times[G1]) / (G2 - G1) * 1e3
+    print("# " + json.dumps({
+        "metric": "beam_decode_p50_latency_ms", "value": round(times[G2] * 1e3, 1),
+        "unit": "ms (B=64, K=5, gen=32, exact top-k)",
+        "detail": f"{step_ms:.2f} ms/step slope, "
+                  f"{B * G2 / times[G2]:.0f} tok/s, p50 of {PASSES} passes",
+    }), flush=True)
+
+
+def child_main() -> None:
+    sents_per_sec = measure_text_encode()
+
+    if os.environ.get("SONAR_TPU_BENCH_AUX", "1") != "0":
+        # Other two BASELINE.json north-star metrics, recorded every round so
+        # a speech/decode regression can't hide (r3 verdict item 2). Failures
+        # here must not cost the primary record.
+        try:
+            measure_speech_rtfx()
+        except Exception as e:  # noqa: BLE001
+            print(f"# speech aux failed: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+        try:
+            measure_decode_p50()
+        except Exception as e:  # noqa: BLE001
+            print(f"# decode aux failed: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+
     print(
         json.dumps(
             {
-                "metric": "text_encode_sentences_per_sec_per_chip",
+                "metric": METRIC,
                 "value": round(sents_per_sec, 1),
                 "unit": "sentences/s",
                 "vs_baseline": round(sents_per_sec / BASELINE_SENTS_PER_SEC, 3),
             }
-        )
+        ),
+        flush=True,
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        child_main()
+    else:
+        sys.exit(supervise())

@@ -1,0 +1,355 @@
+#!/usr/bin/env python
+"""Stdlib-only lint gate matching the reference CI's error classes.
+
+The reference gates merges on ``flake8 --select=E9,F63,F7,F82`` plus mypy
+(/root/reference/.github/workflows/lint_and_test.yml:13-44). This
+environment ships neither flake8 nor mypy and installs are unavailable, so
+this module implements the same error classes with ``ast`` + ``compile``:
+
+- E9 / F7 (syntax errors, ``break`` outside loop, ...): ``compile()`` per
+  file — CPython raises on exactly this class.
+- F63 (invalid comparisons): ``is``/``is not`` against str/bytes/int/float
+  literals (F632), assert on a non-empty tuple literal (F631), comparison
+  chains whose both sides are constants (F634-ish guard skipped — too many
+  legitimate uses in tests).
+- F82 (undefined names, F821): flow-insensitive two-pass scope analysis —
+  collect every binding per scope (imports, assignments, walrus, function/
+  class defs, arguments, for/with/except/match targets, comprehension
+  targets), then resolve every Load against the lexical scope chain with
+  Python's actual rules (class scopes are skipped when resolving from
+  nested functions; comprehensions are their own scope; ``global``/
+  ``nonlocal`` redirect). A module containing ``import *`` opts out of
+  F821 (unknowable), as in pyflakes.
+
+Zero third-party dependencies so it runs in any environment. Exit code 0
+iff no findings. Usage: ``python scripts/lint.py [paths...]`` (defaults to
+``sonar_tpu tests scripts bench.py __graft_entry__.py``).
+"""
+
+from __future__ import annotations
+
+import ast
+import builtins
+import sys
+from pathlib import Path
+
+BUILTINS = set(dir(builtins)) | {
+    "__file__", "__name__", "__doc__", "__package__", "__spec__",
+    "__loader__", "__builtins__", "__debug__", "__path__", "__all__",
+    "__version__", "__annotations__", "__dict__", "__class__",
+    # pytest injects these into rewritten test modules
+    "__tracebackhide__",
+}
+
+
+class Scope:
+    __slots__ = ("node", "bindings", "parent", "globals", "nonlocals")
+
+    def __init__(self, node: ast.AST, parent: "Scope | None"):
+        self.node = node
+        self.bindings: set[str] = set()
+        self.parent = parent
+        self.globals: set[str] = set()
+        self.nonlocals: set[str] = set()
+
+    @property
+    def is_class(self) -> bool:
+        return isinstance(self.node, ast.ClassDef)
+
+    @property
+    def is_comprehension(self) -> bool:
+        return isinstance(
+            self.node, (ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp)
+        )
+
+
+def _bind_target(scope: Scope, target: ast.AST) -> None:
+    """Bind every plain name in an assignment-like target."""
+    for node in ast.walk(target):
+        if isinstance(node, ast.Name) and isinstance(
+            node.ctx, (ast.Store, ast.Del)
+        ):
+            scope.bindings.add(node.id)
+        elif isinstance(node, ast.MatchAs) and node.name:
+            scope.bindings.add(node.name)
+        elif isinstance(node, ast.MatchStar) and node.name:
+            scope.bindings.add(node.name)
+        elif isinstance(node, ast.MatchMapping) and node.rest:
+            scope.bindings.add(node.rest)
+
+
+class Checker(ast.NodeVisitor):
+    """Two passes per scope: bind first, then resolve loads."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.findings: list[tuple[int, str, str]] = []
+        self.scope: Scope | None = None
+        self.has_star_import = False
+
+    # -- plumbing ---------------------------------------------------------
+
+    def err(self, node: ast.AST, code: str, msg: str) -> None:
+        self.findings.append((getattr(node, "lineno", 0), code, msg))
+
+    def _walrus_scope(self) -> Scope:
+        """``:=`` binds in the nearest enclosing non-comprehension scope."""
+        s = self.scope
+        assert s is not None
+        while s.is_comprehension and s.parent is not None:
+            s = s.parent
+        return s
+
+    def _collect_bindings(self, scope_node: ast.AST, body: list[ast.stmt]) -> None:
+        """Pass 1: every statement-level binding in this scope (not nested
+        function/class bodies, which are their own scopes)."""
+        scope = self.scope
+        assert scope is not None
+
+        def visit_stmts(stmts):
+            for st in stmts:
+                collect(st)
+
+        def collect(st: ast.stmt) -> None:
+            if isinstance(st, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                scope.bindings.add(st.name)
+                return  # nested scope handles its own body
+            if isinstance(st, ast.Global):
+                scope.globals.update(st.names)
+                scope.bindings.update(st.names)
+                return
+            if isinstance(st, ast.Nonlocal):
+                scope.nonlocals.update(st.names)
+                scope.bindings.update(st.names)
+                return
+            if isinstance(st, (ast.Import, ast.ImportFrom)):
+                for alias in st.names:
+                    if alias.name == "*":
+                        self.has_star_import = True
+                        continue
+                    name = alias.asname or alias.name.split(".")[0]
+                    scope.bindings.add(name)
+                return
+            if isinstance(st, ast.Assign):
+                for t in st.targets:
+                    _bind_target(scope, t)
+            elif isinstance(st, (ast.AugAssign, ast.AnnAssign)):
+                _bind_target(scope, st.target)
+            elif isinstance(st, (ast.For, ast.AsyncFor)):
+                _bind_target(scope, st.target)
+            elif isinstance(st, (ast.With, ast.AsyncWith)):
+                for item in st.items:
+                    if item.optional_vars is not None:
+                        _bind_target(scope, item.optional_vars)
+            elif isinstance(st, ast.Try):
+                for h in st.handlers:
+                    if h.name:
+                        scope.bindings.add(h.name)
+            elif isinstance(st, ast.Match):
+                for case in st.cases:
+                    _bind_target(scope, case.pattern)
+            elif isinstance(st, ast.Delete):
+                for t in st.targets:
+                    _bind_target(scope, t)
+            # named expressions / comp targets anywhere inside expressions
+            for sub in ast.walk(st):
+                if isinstance(sub, ast.NamedExpr):
+                    _bind_target(scope, sub.target)
+                elif isinstance(
+                    sub, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef,
+                          ast.Lambda, ast.ListComp, ast.SetComp, ast.DictComp,
+                          ast.GeneratorExp)
+                ) and sub is not st:
+                    pass  # ast.walk is flat; nested scopes rebound below
+            # recurse into compound statement bodies (same scope)
+            for field in ("body", "orelse", "finalbody"):
+                sub = getattr(st, field, None)
+                if isinstance(sub, list) and sub and isinstance(sub[0], ast.stmt):
+                    visit_stmts(sub)
+            if isinstance(st, ast.Try):
+                for h in st.handlers:
+                    visit_stmts(h.body)
+            if isinstance(st, ast.Match):
+                for case in st.cases:
+                    visit_stmts(case.body)
+
+        visit_stmts(body)
+
+    def _resolve(self, name: str, from_scope: Scope) -> bool:
+        s: Scope | None = from_scope
+        first = True
+        while s is not None:
+            if name in s.globals:
+                # jump to module scope
+                while s.parent is not None:
+                    s = s.parent
+                return name in s.bindings or name in BUILTINS
+            if s.is_class and not first:
+                s = s.parent  # class scopes invisible to nested scopes
+                continue
+            if name in s.bindings:
+                return True
+            first = False
+            s = s.parent
+        return name in BUILTINS
+
+    # -- scope entries ----------------------------------------------------
+
+    def _enter(self, node: ast.AST) -> Scope:
+        self.scope = Scope(node, self.scope)
+        return self.scope
+
+    def _exit(self) -> None:
+        assert self.scope is not None
+        self.scope = self.scope.parent
+
+    def check_module(self, tree: ast.Module) -> None:
+        self._enter(tree)
+        self._collect_bindings(tree, tree.body)
+        for st in tree.body:
+            self.visit(st)
+        self._exit()
+
+    def _visit_function(self, node) -> None:
+        # decorators, defaults, annotations evaluate in the ENCLOSING scope
+        is_lambda = isinstance(node, ast.Lambda)
+        if not is_lambda:
+            for dec in node.decorator_list:
+                self.visit(dec)
+        args = node.args
+        for d in list(args.defaults) + [d for d in args.kw_defaults if d]:
+            self.visit(d)
+        for a in (
+            args.posonlyargs + args.args + args.kwonlyargs
+            + ([args.vararg] if args.vararg else [])
+            + ([args.kwarg] if args.kwarg else [])
+        ):
+            if a.annotation:
+                self.visit(a.annotation)
+        if not is_lambda and node.returns:
+            self.visit(node.returns)
+
+        scope = self._enter(node)
+        for a in (
+            args.posonlyargs + args.args + args.kwonlyargs
+            + ([args.vararg] if args.vararg else [])
+            + ([args.kwarg] if args.kwarg else [])
+        ):
+            scope.bindings.add(a.arg)
+        if isinstance(node, ast.Lambda):
+            self.visit(node.body)
+        else:
+            self._collect_bindings(node, node.body)
+            for st in node.body:
+                self.visit(st)
+        self._exit()
+
+    visit_FunctionDef = _visit_function
+    visit_AsyncFunctionDef = _visit_function
+    visit_Lambda = _visit_function
+
+    def visit_ClassDef(self, node: ast.ClassDef) -> None:
+        for dec in node.decorator_list:
+            self.visit(dec)
+        for base in node.bases:
+            self.visit(base)
+        for kw in node.keywords:
+            self.visit(kw.value)
+        self._enter(node)
+        self._collect_bindings(node, node.body)
+        for st in node.body:
+            self.visit(st)
+        self._exit()
+
+    def _visit_comprehension(self, node) -> None:
+        # first iterable evaluates in the enclosing scope
+        self.visit(node.generators[0].iter)
+        scope = self._enter(node)
+        for gen in node.generators:
+            _bind_target(scope, gen.target)
+        for i, gen in enumerate(node.generators):
+            if i > 0:
+                self.visit(gen.iter)
+            for cond in gen.ifs:
+                self.visit(cond)
+        if isinstance(node, ast.DictComp):
+            self.visit(node.key)
+            self.visit(node.value)
+        else:
+            self.visit(node.elt)
+        self._exit()
+
+    visit_ListComp = _visit_comprehension
+    visit_SetComp = _visit_comprehension
+    visit_DictComp = _visit_comprehension
+    visit_GeneratorExp = _visit_comprehension
+
+    # -- checks -----------------------------------------------------------
+
+    def visit_Name(self, node: ast.Name) -> None:
+        if isinstance(node.ctx, ast.Load) and not self.has_star_import:
+            assert self.scope is not None
+            if not self._resolve(node.id, self.scope):
+                self.err(node, "F821", f"undefined name '{node.id}'")
+
+    def visit_Compare(self, node: ast.Compare) -> None:
+        for op, comp in zip(node.ops, node.comparators):
+            if isinstance(op, (ast.Is, ast.IsNot)):
+                for side in (node.left, comp):
+                    if isinstance(side, ast.Constant) and isinstance(
+                        side.value, (str, bytes, int, float)
+                    ) and not isinstance(side.value, bool):
+                        self.err(
+                            node, "F632",
+                            "use ==/!= to compare str, bytes, and int literals",
+                        )
+                        break
+        self.generic_visit(node)
+
+    def visit_Assert(self, node: ast.Assert) -> None:
+        if isinstance(node.test, ast.Tuple) and node.test.elts:
+            self.err(
+                node, "F631",
+                "assertion on a non-empty tuple is always true",
+            )
+        self.generic_visit(node)
+
+
+def check_file(path: Path) -> list[str]:
+    src = path.read_text(encoding="utf-8")
+    try:
+        compile(src, str(path), "exec")  # E9xx / F7xx
+        tree = ast.parse(src, str(path))
+    except SyntaxError as e:
+        return [f"{path}:{e.lineno}: E999 {e.msg}"]
+    checker = Checker(str(path))
+    checker.check_module(tree)
+    return [
+        f"{path}:{line}: {code} {msg}"
+        for line, code, msg in sorted(checker.findings)
+    ]
+
+
+def main(argv: list[str]) -> int:
+    roots = [Path(a) for a in argv] or [
+        Path("sonar_tpu"), Path("tests"), Path("scripts"),
+        Path("benchmarks"), Path("examples"),
+        Path("bench.py"), Path("__graft_entry__.py"),
+    ]
+    files: list[Path] = []
+    for r in roots:
+        if r.is_dir():
+            files.extend(sorted(r.rglob("*.py")))
+        elif r.suffix == ".py":
+            files.append(r)
+    findings: list[str] = []
+    for f in files:
+        findings.extend(check_file(f))
+    for line in findings:
+        print(line)
+    print(f"lint: {len(files)} files, {len(findings)} findings")
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

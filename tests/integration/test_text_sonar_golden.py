@@ -56,7 +56,29 @@ def test_golden_cross_lingual_cosine():
     emb_en = pipe.predict(ENG, source_lang="eng_Latn")
     emb_fr = pipe.predict(FRA, source_lang="fra_Latn")
     got = _cosine_matrix(emb_en, emb_fr)
-    np.testing.assert_allclose(got, GOLDEN_COSINE, rtol=1e-3, atol=1e-3)
+    # fp32 default pipeline: the reference's exact tolerance
+    # (test_text_sonar.py:53). A bf16/TPU run gets its own looser check.
+    np.testing.assert_allclose(got, GOLDEN_COSINE, rtol=1e-4, atol=1e-4)
+
+
+@needs_encoder
+def test_golden_cross_lingual_cosine_bf16():
+    """Same golden matrix through the bf16 serving path: explicitly looser
+    tolerance for the reduced mantissa (labeled separately so the fp32
+    assertion above stays at the reference's 1e-4)."""
+    import jax.numpy as jnp
+
+    from sonar_tpu import TextToEmbeddingModelPipeline
+
+    pipe = TextToEmbeddingModelPipeline(
+        encoder="text_sonar_basic_encoder",
+        tokenizer="text_sonar_basic_encoder",
+        dtype=jnp.bfloat16,
+    )
+    emb_en = pipe.predict(ENG, source_lang="eng_Latn")
+    emb_fr = pipe.predict(FRA, source_lang="fra_Latn")
+    got = _cosine_matrix(emb_en, emb_fr)
+    np.testing.assert_allclose(got, GOLDEN_COSINE, rtol=1e-2, atol=1e-2)
 
 
 @needs_encoder

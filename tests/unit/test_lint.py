@@ -1,0 +1,146 @@
+"""The stdlib lint gate (scripts/lint.py) — positive and negative cases.
+
+Guards the checker itself: the repo-wide run reporting 0 findings is only
+meaningful if each error class demonstrably fires, and the scoping rules
+(class bodies, comprehensions, walrus, global) demonstrably don't
+false-positive on legal Python.
+"""
+
+import ast
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "scripts"))
+import lint  # noqa: E402
+
+
+def findings(src: str):
+    tree = ast.parse(src)
+    c = lint.Checker("<test>")
+    c.check_module(tree)
+    return [(code, line) for line, code, _ in c.findings]
+
+
+def codes(src: str):
+    return {code for code, _ in findings(src)}
+
+
+# -- each class fires ------------------------------------------------------
+
+def test_f821_undefined_name():
+    assert codes("x = undefined_thing + 1") == {"F821"}
+
+
+def test_f821_in_function():
+    assert codes("def f():\n    return missing\n") == {"F821"}
+
+
+def test_f632_is_literal():
+    assert codes("x = 1\ny = x is 'a'") == {"F632"}
+    assert codes("x = 1\ny = x is not 3") == {"F632"}
+
+
+def test_f631_assert_tuple():
+    assert codes("assert (1, 'msg')") == {"F631"}
+
+
+def test_e999_syntax_error(tmp_path):
+    p = tmp_path / "bad.py"
+    p.write_text("def f(:\n")
+    out = lint.check_file(p)
+    assert len(out) == 1 and "E999" in out[0]
+
+
+# -- legal Python does not false-positive ----------------------------------
+
+def test_no_fp_basics():
+    assert codes(
+        "import os\n"
+        "from sys import path as p\n"
+        "x = os.sep + p[0]\n"
+        "def f(a, b=x, *args, **kw):\n"
+        "    c = a + b\n"
+        "    return c, args, kw\n"
+        "class K:\n"
+        "    attr = x\n"
+        "    def m(self):\n"
+        "        return self.attr\n"
+    ) == set()
+
+
+def test_no_fp_comprehension_and_walrus():
+    assert codes(
+        "data = [1, 2]\n"
+        "sq = [v * v for v in data if v]\n"
+        "d = {k_: v_ for k_, v_ in zip(data, data)}\n"
+        "if (n := len(data)) > 1:\n"
+        "    print(n)\n"
+        "g = (w for w in data)\n"
+        "total = sum(x2 for x2 in g)\n"
+    ) == set()
+
+
+def test_no_fp_global_nonlocal_try_with_match():
+    assert codes(
+        "COUNT = 0\n"
+        "def bump():\n"
+        "    global COUNT\n"
+        "    COUNT += 1\n"
+        "def outer():\n"
+        "    v = 0\n"
+        "    def inner():\n"
+        "        nonlocal v\n"
+        "        v += 1\n"
+        "    inner()\n"
+        "    return v\n"
+        "try:\n"
+        "    import json\n"
+        "except ImportError as e:\n"
+        "    print(e)\n"
+        "with open('/dev/null') as fh:\n"
+        "    fh.read()\n"
+        "match [1, 2]:\n"
+        "    case [a, *rest]:\n"
+        "        print(a, rest)\n"
+        "for i in range(3):\n"
+        "    pass\n"
+        "print(i)\n"
+    ) == set()
+
+
+def test_class_scope_invisible_to_methods():
+    # legal: method reads module global; illegal: method reads class attr
+    # by bare name (NameError at runtime) — flagged.
+    assert codes(
+        "class K:\n"
+        "    attr = 1\n"
+        "    def m(self):\n"
+        "        return attr\n"
+    ) == {"F821"}
+
+
+def test_star_import_disables_f821():
+    assert codes("from os.path import *\nx = join('a', 'b')\n") == set()
+
+
+def test_lambda_and_decorator_scopes():
+    assert codes(
+        "import functools\n"
+        "f = lambda q, r=2: q + r\n"
+        "@functools.lru_cache(maxsize=None)\n"
+        "def g(z):\n"
+        "    return f(z)\n"
+    ) == set()
+
+
+# -- the repo itself is clean (the actual gate) -----------------------------
+
+def test_repo_is_clean():
+    root = Path(__file__).resolve().parents[2]
+    bad = []
+    for rel in ("sonar_tpu", "scripts", "bench.py", "__graft_entry__.py"):
+        p = root / rel
+        files = sorted(p.rglob("*.py")) if p.is_dir() else [p]
+        for f in files:
+            bad.extend(lint.check_file(f))
+    assert not bad, "\n".join(bad)
