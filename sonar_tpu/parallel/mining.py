@@ -15,6 +15,7 @@ external tooling. SONAR-TPU implements it natively, TPU-first:
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import jax
@@ -160,6 +161,20 @@ def sharded_cosine_topk(
         bank = jnp.concatenate(
             [bank, jnp.zeros((pad, bank.shape[1]), bank.dtype)], axis=0
         )
+    dd_key = "int8" if dot_dtype in ("int8", jnp.int8) else (
+        None if dot_dtype is None else jnp.dtype(dot_dtype).name
+    )
+    fn = _sharded_topk_fn(mesh, axis, k, m, shard, dd_key, approx)
+    return fn(queries, bank)
+
+
+@lru_cache(maxsize=128)
+def _sharded_topk_fn(mesh, axis, k, m, shard, dot_dtype, approx):
+    """Build (once per config) the jitted shard_map program for
+    ``sharded_cosine_topk``. A fresh closure per call would defeat jax's
+    trace/compile caches — repeated mining over a mesh (the production
+    pattern: one selection per bank block per epoch) must reuse one
+    compiled program per (mesh, config, shape) instead of re-tracing."""
 
     def local(q, b_shard):
         idx = jax.lax.axis_index(axis)
@@ -177,7 +192,7 @@ def sharded_cosine_topk(
         top_i = jnp.take_along_axis(cat_i, pos, axis=1)
         return top_s, top_i
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(axis, None)),
@@ -185,8 +200,7 @@ def sharded_cosine_topk(
         # Outputs are replicated by construction (post-all_gather merge);
         # the static varying-mesh-axes checker cannot prove it.
         check_vma=False,
-    )
-    return fn(queries, bank)
+    ))
 
 
 def _margin_scores(

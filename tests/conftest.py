@@ -41,6 +41,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The suite's wall time inflates ~2x as it proceeds: every jitted program
+# stays alive in jax's caches, so CPython's generational GC rescans an
+# ever-growing object graph on each collection. Nothing in the suite relies
+# on cycle collection (refcounting still frees), and the box has RAM to
+# spare, so GC is disabled by default; SONAR_TPU_TEST_GC=1 restores it.
+if os.environ.get("SONAR_TPU_TEST_GC", "0") != "1":
+    import gc
+
+    gc.disable()
+
 
 @pytest.fixture
 def rng():
