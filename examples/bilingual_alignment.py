@@ -9,7 +9,7 @@ import numpy as np
 
 from sonar_tpu import TextToEmbeddingModelPipeline
 from sonar_tpu.huggingface.text import split_sentences
-from sonar_tpu.parallel.mining import cosine_topk, l2_normalize
+from sonar_tpu.parallel.mining import cosine_topk
 
 ENG_DOC = (
     "My name is SONAR. I can embed sentences into a vector space. "

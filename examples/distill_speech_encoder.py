@@ -16,7 +16,6 @@ w2v-BERT checkpoint (``assets.checkpoint_speech``).
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 

@@ -9,7 +9,6 @@ k-candidate all_gather merge over ICI.
 import jax
 import numpy as np
 
-from sonar_tpu.parallel.mesh import make_mesh
 from sonar_tpu.parallel.mining import sharded_cosine_topk, xsim
 
 

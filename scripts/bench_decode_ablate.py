@@ -11,7 +11,6 @@ under-count the historical cross cost (~17 us/layer when measured).
 Production now pays ~0 for cross either way.
 """
 
-import functools
 import os
 import sys
 import time

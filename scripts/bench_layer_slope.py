@@ -67,7 +67,6 @@ def main():
     ).astype(jnp.float32)
     bias4d = bias2d[:, None, None, :]
 
-    from sonar_tpu.nn.core import init_layer_norm
     from sonar_tpu.nn.transformer import (
         AttentionSpec,
         encoder_layer,

@@ -12,6 +12,11 @@ this module implements the same error classes with ``ast`` + ``compile``:
   literals (F632), assert on a non-empty tuple literal (F631), comparison
   chains whose both sides are constants (F634-ish guard skipped — too many
   legitimate uses in tests).
+- F401 (unused imports): an imported name with no Load anywhere in the
+  module is flagged. Convention-aware: ``__init__.py`` files are exempt
+  (re-export surface), as are ``import x as x`` explicit re-exports, names
+  listed in ``__all__``, and identifiers inside string annotations (lazy
+  ``from __future__ import annotations`` code quotes types manually too).
 - F82 (undefined names, F821): flow-insensitive two-pass scope analysis —
   collect every binding per scope (imports, assignments, walrus, function/
   class defs, arguments, for/with/except/match targets, comprehension
@@ -30,6 +35,7 @@ from __future__ import annotations
 
 import ast
 import builtins
+import re
 import sys
 from pathlib import Path
 
@@ -81,11 +87,16 @@ def _bind_target(scope: Scope, target: ast.AST) -> None:
 class Checker(ast.NodeVisitor):
     """Two passes per scope: bind first, then resolve loads."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, check_unused_imports: bool = True):
         self.path = path
         self.findings: list[tuple[int, str, str]] = []
         self.scope: Scope | None = None
         self.has_star_import = False
+        self.check_unused_imports = check_unused_imports
+        # name -> (lineno, display) for every import binding; names with a
+        # Load anywhere (or in __all__ / string annotations) are removed.
+        self.imports: dict[str, tuple[int, str]] = {}
+        self.used_names: set[str] = set()
 
     # -- plumbing ---------------------------------------------------------
 
@@ -123,12 +134,24 @@ class Checker(ast.NodeVisitor):
                 scope.bindings.update(st.names)
                 return
             if isinstance(st, (ast.Import, ast.ImportFrom)):
+                is_future = (
+                    isinstance(st, ast.ImportFrom) and st.module == "__future__"
+                )
                 for alias in st.names:
                     if alias.name == "*":
                         self.has_star_import = True
                         continue
                     name = alias.asname or alias.name.split(".")[0]
                     scope.bindings.add(name)
+                    # `import x as x` / `from m import x as x` is flake8's
+                    # explicit re-export convention — never unused.
+                    reexport = alias.asname is not None and (
+                        alias.asname == alias.name
+                    )
+                    if not is_future and not reexport:
+                        self.imports.setdefault(
+                            name, (st.lineno, alias.name)
+                        )
                 return
             if isinstance(st, ast.Assign):
                 for t in st.targets:
@@ -209,6 +232,48 @@ class Checker(ast.NodeVisitor):
         for st in tree.body:
             self.visit(st)
         self._exit()
+        if self.check_unused_imports:
+            self._report_unused_imports(tree)
+
+    def _report_unused_imports(self, tree: ast.Module) -> None:
+        exempt = set(self.used_names)
+        # __all__ entries are the public re-export surface.
+        for st in tree.body:
+            targets = []
+            if isinstance(st, ast.Assign):
+                targets = st.targets
+            elif isinstance(st, ast.AugAssign):
+                targets = [st.target]
+            if any(
+                isinstance(t, ast.Name) and t.id == "__all__" for t in targets
+            ):
+                for sub in ast.walk(st.value):
+                    if isinstance(sub, ast.Constant) and isinstance(
+                        sub.value, str
+                    ):
+                        exempt.add(sub.value)
+        # Identifiers inside string annotations ("Foo", Optional["Bar"]):
+        # with lazy annotations, typing-only imports are referenced only
+        # there. Harvest every str constant in an annotation expression.
+        ann_roots: list[ast.AST] = []
+        for node in ast.walk(tree):
+            if isinstance(node, ast.AnnAssign) and node.annotation:
+                ann_roots.append(node.annotation)
+            elif isinstance(node, ast.arg) and node.annotation:
+                ann_roots.append(node.annotation)
+            elif isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef)
+            ) and node.returns:
+                ann_roots.append(node.returns)
+        for root in ann_roots:
+            for sub in ast.walk(root):
+                if isinstance(sub, ast.Constant) and isinstance(sub.value, str):
+                    exempt.update(_IDENT_RE.findall(sub.value))
+        for name, (lineno, display) in sorted(self.imports.items()):
+            if name not in exempt:
+                self.findings.append(
+                    (lineno, "F401", f"'{display}' imported but unused")
+                )
 
     def _visit_function(self, node) -> None:
         # decorators, defaults, annotations evaluate in the ENCLOSING scope
@@ -287,10 +352,12 @@ class Checker(ast.NodeVisitor):
     # -- checks -----------------------------------------------------------
 
     def visit_Name(self, node: ast.Name) -> None:
-        if isinstance(node.ctx, ast.Load) and not self.has_star_import:
-            assert self.scope is not None
-            if not self._resolve(node.id, self.scope):
-                self.err(node, "F821", f"undefined name '{node.id}'")
+        if isinstance(node.ctx, ast.Load):
+            self.used_names.add(node.id)
+            if not self.has_star_import:
+                assert self.scope is not None
+                if not self._resolve(node.id, self.scope):
+                    self.err(node, "F821", f"undefined name '{node.id}'")
 
     def visit_Compare(self, node: ast.Compare) -> None:
         for op, comp in zip(node.ops, node.comparators):
@@ -315,6 +382,9 @@ class Checker(ast.NodeVisitor):
         self.generic_visit(node)
 
 
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
 def check_file(path: Path) -> list[str]:
     src = path.read_text(encoding="utf-8")
     try:
@@ -322,11 +392,16 @@ def check_file(path: Path) -> list[str]:
         tree = ast.parse(src, str(path))
     except SyntaxError as e:
         return [f"{path}:{e.lineno}: E999 {e.msg}"]
-    checker = Checker(str(path))
+    # __init__.py modules are re-export surfaces: every import is public API.
+    checker = Checker(str(path), check_unused_imports=path.name != "__init__.py")
     checker.check_module(tree)
+    lines = src.splitlines()
     return [
         f"{path}:{line}: {code} {msg}"
         for line, code, msg in sorted(checker.findings)
+        # flake8's suppression comment: skip findings on `# noqa` lines
+        # (side-effect imports, deliberate shadowing).
+        if not (0 < line <= len(lines) and "# noqa" in lines[line - 1])
     ]
 
 

@@ -10,7 +10,6 @@ reaches ~320 TOPS at 8192^3 (81% of the 394 nominal), i.e. the int8 MXU
 path is real — kernels must be shaped to hit it.
 """
 
-import functools
 import os
 import sys
 import time
@@ -25,8 +24,6 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 

@@ -18,7 +18,7 @@ fine-grained (8.9% waste). It stays opt-in via ``apply_packed``;
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Iterable, Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ Counterpart of ``huggingface_pipelines/text.py`` (SURVEY §2.2):
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from itertools import accumulate
 from typing import Any, Dict, List, Optional
 

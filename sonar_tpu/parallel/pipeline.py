@@ -31,7 +31,7 @@ could reduce-scatter instead; for SONAR-sized activations the psum is noise.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Sequence
 
 import jax
@@ -273,7 +273,18 @@ def pipeline_text_encode(
     """Full SonarTextEncoder forward with the layer stack pipelined over the
     mesh's 'stage' axis; frontend, final LayerNorms and pooling stay
     data-parallel (they are <1% of the FLOPs). Returns sentence embeddings.
+
+    The whole forward is staged through one memoized jitted program per
+    (model, mesh, microbatch) config: repeated calls reuse the compiled
+    program instead of re-tracing the shard_map per call.
     """
+    return _pp_text_program(model, mesh, num_microbatches)(
+        params, seqs, seq_lens
+    )
+
+
+@lru_cache(maxsize=32)
+def _pp_text_program(model, mesh: Mesh, num_microbatches: Optional[int]):
     cfg = model.config
 
     def stack_fn(stacked, x, bias):
@@ -288,7 +299,12 @@ def pipeline_text_encode(
             num_microbatches=num_microbatches,
         )
 
-    return model.apply(params, seqs, seq_lens, stack_fn=stack_fn).sentence_embeddings
+    def run(params, seqs, seq_lens):
+        return model.apply(
+            params, seqs, seq_lens, stack_fn=stack_fn
+        ).sentence_embeddings
+
+    return jax.jit(run)
 
 
 def pipeline_speech_encode(
@@ -302,7 +318,15 @@ def pipeline_speech_encode(
 ):
     """Full SonarSpeechEncoder forward with the Conformer stack pipelined
     over the mesh's 'stage' axis; frontend, workaround LayerNorm and the
-    attention pooler stay data-parallel. Returns the SonarEncoderOutput."""
+    attention pooler stay data-parallel. Returns the SonarEncoderOutput.
+    One memoized jitted program per (model, mesh, microbatch) config."""
+    return _pp_speech_program(model, mesh, num_microbatches)(
+        params, fbank, frame_lens
+    )
+
+
+@lru_cache(maxsize=32)
+def _pp_speech_program(model, mesh: Mesh, num_microbatches: Optional[int]):
     cfg = model.config
 
     def stack_fn(stacked, x, bias, mask):
@@ -311,4 +335,7 @@ def pipeline_speech_encode(
             num_microbatches=num_microbatches,
         )
 
-    return model.apply(params, fbank, frame_lens, stack_fn=stack_fn)
+    def run(params, fbank, frame_lens):
+        return model.apply(params, fbank, frame_lens, stack_fn=stack_fn)
+
+    return jax.jit(run)

@@ -33,13 +33,13 @@ orders), so results match `conformer_stack` to float-associativity noise.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..nn.conformer import (
     ConformerConfig,
@@ -49,7 +49,6 @@ from ..nn.conformer import (
     rel_pos_sin_cos_basis,
 )
 from ..nn.core import Params, layer_norm, linear
-from ..nn.transformer import _merge_heads
 
 __all__ = [
     "make_seq_mesh",
@@ -235,7 +234,14 @@ def sequence_speech_encode(
     """Full SonarSpeechEncoder forward with the Conformer stack
     sequence-sharded over the mesh's 'seq' axis; the fbank frontend and the
     attention pooler stay data-parallel (they are <2% of the FLOPs).
-    Returns the model's SonarEncoderOutput."""
+    Returns the model's SonarEncoderOutput. One memoized jitted program per
+    (model, mesh): repeated calls reuse the compiled program instead of
+    re-tracing the shard_map per call."""
+    return _sp_speech_program(model, mesh)(params, fbank, frame_lens)
+
+
+@lru_cache(maxsize=32)
+def _sp_speech_program(model, mesh: Mesh):
     cfg = model.config
 
     def stack_fn(stacked, x, bias, mask):
@@ -243,4 +249,7 @@ def sequence_speech_encode(
             stacked, x, bias, mask, cfg.conformer, mesh
         )
 
-    return model.apply(params, fbank, frame_lens, stack_fn=stack_fn)
+    def run(params, fbank, frame_lens):
+        return model.apply(params, fbank, frame_lens, stack_fn=stack_fn)
+
+    return jax.jit(run)

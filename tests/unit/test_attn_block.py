@@ -1,6 +1,5 @@
 """Whole-block attention kernel vs the XLA int8 composition (interpret)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -22,7 +22,6 @@ import pytest
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
-import jax
 import jax.numpy as jnp
 
 from sonar_tpu.generation.beam_search import BeamSearchConfig

@@ -54,7 +54,6 @@ def test_legacy_pad_offset_matches_m2m100(fx):
 def test_fbank_matches_seamless_m4t(fx, which):
     """PARITY risk 3: raw (unstandardized) 80-bin log-mel frames must match
     SeamlessM4T's independent numpy Kaldi implementation."""
-    import dataclasses
 
     import jax
 

@@ -2,7 +2,7 @@
 
 import time
 
-from sonar_tpu.data.collate import Collater, SequenceBatch
+from sonar_tpu.data.collate import Collater
 from sonar_tpu.data.pipeline import read_sequence, read_text
 
 

@@ -5,7 +5,6 @@ implementation (``ops.quantization.int8_linear`` applied twice with ReLU
 between), plus a float reference to bound both paths' quantization error.
 """
 
-import dataclasses
 import sys
 from pathlib import Path
 

@@ -9,7 +9,6 @@ traced outside the scope must not be silently reused inside it.
 import threading
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from sonar_tpu.ops import attention as A

@@ -51,6 +51,33 @@ def test_e999_syntax_error(tmp_path):
     assert len(out) == 1 and "E999" in out[0]
 
 
+def test_f401_unused_import():
+    assert codes("import os\nimport sys\nprint(sys.path)\n") == {"F401"}
+    assert codes("from collections import deque\n") == {"F401"}
+
+
+def test_f401_exemptions(tmp_path):
+    # used, __all__, re-export alias, __future__, string annotation
+    assert codes(
+        "from __future__ import annotations\n"
+        "import os\n"
+        "from typing import Optional as Optional\n"
+        "from collections import deque\n"
+        "import numpy\n"
+        "__all__ = ['numpy']\n"
+        "def f(q: 'deque[int]') -> None:\n"
+        "    print(os.sep)\n"
+    ) == set()
+    # noqa suppression and __init__.py exemption go through check_file
+    p = tmp_path / "mod.py"
+    p.write_text("import os  # noqa\nimport sys\n")
+    out = lint.check_file(p)
+    assert len(out) == 1 and "'sys'" in out[0]
+    ini = tmp_path / "__init__.py"
+    ini.write_text("import os\nimport sys\n")
+    assert lint.check_file(ini) == []
+
+
 # -- legal Python does not false-positive ----------------------------------
 
 def test_no_fp_basics():
@@ -97,6 +124,7 @@ def test_no_fp_global_nonlocal_try_with_match():
         "    import json\n"
         "except ImportError as e:\n"
         "    print(e)\n"
+        "print(json.dumps({}))\n"
         "with open('/dev/null') as fh:\n"
         "    fh.read()\n"
         "match [1, 2]:\n"

@@ -16,7 +16,6 @@ import pytest
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
-import jax
 import jax.numpy as jnp
 
 from sonar_tpu.nn.transformer import decoder_layer, encoder_layer

@@ -6,7 +6,6 @@ import sys
 from pathlib import Path
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -15,7 +14,6 @@ from helpers import build_toy_nllb, build_toy_spm_proto
 from sonar_tpu.assets.store import AssetStore, ModelCard, default_store
 from sonar_tpu.models.sonar_translation import (
     DummyEncoderModel,
-    SonarEncoderDecoderModel,
     create_sonar_text_encoder_decoder_model,
 )
 from sonar_tpu.tokenizers.spm import SentencePieceModel

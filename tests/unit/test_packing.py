@@ -36,15 +36,20 @@ def test_packed_encode_matches_unpacked(rng):
     params = model.init_params(jax.random.PRNGKey(0))
 
     sents = _sentences(rng, n=9)
-    # reference: encode each sentence separately
+    # reference: encode each sentence separately (one jitted program — pad
+    # every sentence to a common length so the 9 calls share one compile;
+    # padding invariance is itself pinned in test_sonar_text_model.py)
+    enc = jax.jit(
+        lambda p, s, l: model.apply(p, s, l).sentence_embeddings
+    )
+    max_len = max(len(s) for s in sents)
     want = []
     for s in sents:
-        out = model.apply(
-            params,
-            jnp.asarray([s], jnp.int32),
-            jnp.asarray([len(s)], jnp.int32),
-        )
-        want.append(np.asarray(out.sentence_embeddings[0]))
+        padded = np.zeros((1, max_len), np.int32)
+        padded[0, : len(s)] = s
+        out = enc(params, jnp.asarray(padded),
+                  jnp.asarray([len(s)], jnp.int32))
+        want.append(np.asarray(out[0]))
     want = np.stack(want)
 
     got = np.zeros_like(want)

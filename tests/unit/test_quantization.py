@@ -5,7 +5,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
-from sonar_tpu.nn.core import init_linear, linear
 from sonar_tpu.ops.quantization import int8_linear, quantize_params_int8
 
 

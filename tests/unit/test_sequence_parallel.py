@@ -2,7 +2,6 @@
 attention, halo-exchanged depthwise conv) must match the single-device
 stack exactly — including at padding boundaries and shard seams."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp

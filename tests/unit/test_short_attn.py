@@ -1,6 +1,5 @@
 """Short-sequence fused QKV attention kernel vs sdpa_xla (interpret mode)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

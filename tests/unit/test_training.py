@@ -1,6 +1,5 @@
 """Training: loss math, train step convergence, checkpoint round-trip."""
 
-import dataclasses
 
 import jax
 import jax.numpy as jnp
