@@ -350,9 +350,18 @@ def encoder_layer(
     return x
 
 
+def _stack_layers_impl(layers):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+# One fused program per tree structure instead of one eager jnp.stack
+# dispatch (= one tiny XLA program) per parameter leaf.
+_stack_layers_jit = jax.jit(_stack_layers_impl)
+
+
 def stack_layers(layers: list) -> Params:
     """List of per-layer param dicts -> single pytree with leading L axis."""
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return _stack_layers_jit(layers)
 
 
 def num_stacked_layers(stacked: Params) -> int:

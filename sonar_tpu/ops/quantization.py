@@ -70,22 +70,28 @@ def int8_linear(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
+def _transform_tree(node, key=None):
+    if not isinstance(node, dict):
+        return node
+    if key in _QUANT_KEYS and "kernel" in node:
+        q, scale = quantize_kernel(node["kernel"])
+        out = {k: v for k, v in node.items() if k != "kernel"}
+        out["kernel_q"] = q
+        out["scale"] = scale
+        return out
+    return {k: _transform_tree(v, k) for k, v in node.items()}
+
+
+# One fused program for the whole tree (cached by params structure): the
+# eager per-leaf version dispatched ~3 tiny XLA programs per kernel — slow
+# to compile everywhere and ~50 extra round-trips on a tunneled device.
+_quantize_jit = jax.jit(_transform_tree, static_argnames=("key",))
+
+
 def quantize_params_int8(params: Params) -> Params:
     """Replace eligible Linear kernels with int8 + scales (runtime copy).
 
     LayerNorms, embeddings, biases, batch-norm and depthwise convs stay in
     floating point (negligible FLOPs, quantization-sensitive).
     """
-
-    def transform(node, key=None):
-        if not isinstance(node, dict):
-            return node
-        if key in _QUANT_KEYS and "kernel" in node:
-            q, scale = quantize_kernel(node["kernel"])
-            out = {k: v for k, v in node.items() if k != "kernel"}
-            out["kernel_q"] = q
-            out["scale"] = scale
-            return out
-        return {k: transform(v, k) for k, v in node.items()}
-
-    return transform(params)
+    return _quantize_jit(params)

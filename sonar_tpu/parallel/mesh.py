@@ -90,8 +90,13 @@ def data_sharding(mesh: Mesh, *batch_axes_specs) -> NamedSharding:
 
 
 def shard_params(params, mesh: Mesh):
-    """Place a host pytree onto the mesh according to the TP rules."""
-    return jax.device_put(params, param_shardings(params, mesh))
+    """Place a host pytree onto the mesh according to the TP rules.
+
+    Staged as ONE jitted identity program with per-leaf out_shardings:
+    ``jax.device_put`` with a shardings tree compiles a separate tiny
+    resharding program per distinct leaf shape (~27 for a toy model)."""
+    shardings = param_shardings(params, mesh)
+    return jax.jit(lambda t: t, out_shardings=shardings)(params)
 
 
 def replicate(tree, mesh: Mesh):

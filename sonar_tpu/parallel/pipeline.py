@@ -133,15 +133,20 @@ def _gpipe_loop(
     return outs.reshape(b_loc, *x.shape[1:])
 
 
-def _pipeline_call(
-    stacked_params: Params,
-    x: jnp.ndarray,
-    aux: tuple,
+def _pipeline_program(
     run_local,
     mesh: Mesh,
     n_stages: int,
     num_microbatches: int,
+    n_aux: int,
 ):
+    """jit(shard_map(gpipe)) for one (schedule, mesh) config. An UN-jitted
+    shard_map executes eagerly — each primitive in the GPipe loop dispatches
+    as its own tiny XLA program (~19 compiles per call measured) — so the
+    whole pipeline is staged under one jit here. Callers memoize per config
+    (see ``_pp_stack_program``): ``P('stage')``/``xspec`` are tree PREFIXES,
+    so the program is independent of the params-tree structure and batch
+    shape beyond what jit itself keys on."""
     has_data = "data" in mesh.axis_names
     xspec = P("data") if has_data else P()
     body = partial(
@@ -153,15 +158,63 @@ def _pipeline_call(
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            jax.tree.map(lambda _: P("stage"), stacked_params),
-            xspec,
-            *([xspec] * len(aux)),
-        ),
+        in_specs=(P("stage"), xspec, *([xspec] * n_aux)),
         out_specs=xspec,
         check_vma=False,
     )
-    return fn(stacked_params, x, *aux)
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=64)
+def _pp_stack_program(
+    mesh: Mesh,
+    n_stages: int,
+    num_microbatches: int,
+    num_heads: int,
+    activation: str,
+    norm_order: str,
+    remat: bool,
+    has_bias: bool,
+):
+    """Memoized GPipe program for the text encoder stack — one compiled
+    program per (mesh, schedule, layer-body) config instead of re-tracing
+    (and eagerly dispatching) the shard_map on every call."""
+
+    def run_local(layers, h, *aux_mb):
+        b = aux_mb[0] if has_bias else None
+        return encoder_stack(
+            layers, h, b, num_heads, activation, norm_order, remat=remat
+        )
+
+    return _pipeline_program(
+        run_local, mesh, n_stages, num_microbatches, int(has_bias)
+    )
+
+
+@lru_cache(maxsize=64)
+def _pp_conformer_program(
+    mesh: Mesh,
+    n_stages: int,
+    num_microbatches: int,
+    cfg,
+    remat: bool,
+    has_bias: bool,
+    has_mask: bool,
+):
+    """Memoized GPipe program for the Conformer stack (cfg is a frozen,
+    hashable ``ConformerConfig``)."""
+    from ..nn.conformer import conformer_stack
+
+    def run_local(layers, h, *aux_mb):
+        it = iter(aux_mb)
+        b = next(it) if has_bias else None
+        mk = next(it) if has_mask else None
+        return conformer_stack(layers, h, b, mk, cfg, remat=remat)
+
+    return _pipeline_program(
+        run_local, mesh, n_stages, num_microbatches,
+        int(has_bias) + int(has_mask),
+    )
 
 
 def pipeline_encoder_stack(
@@ -202,20 +255,11 @@ def pipeline_encoder_stack(
     n_data = dict(mesh.shape).get("data", 1)
     m = num_microbatches or max(1, min(n_stages, x.shape[0] // n_data))
 
-    if bias is None:
-        def run_local(layers, h):
-            return encoder_stack(
-                layers, h, None, num_heads, activation, norm_order, remat=remat
-            )
-
-        return _pipeline_call(stacked_params, x, (), run_local, mesh, n_stages, m)
-
-    def run_local(layers, h, b):
-        return encoder_stack(
-            layers, h, b, num_heads, activation, norm_order, remat=remat
-        )
-
-    return _pipeline_call(stacked_params, x, (bias,), run_local, mesh, n_stages, m)
+    fn = _pp_stack_program(
+        mesh, n_stages, m, num_heads, activation, norm_order, remat,
+        bias is not None,
+    )
+    return fn(stacked_params, x) if bias is None else fn(stacked_params, x, bias)
 
 
 def pipeline_conformer_stack(
@@ -250,15 +294,11 @@ def pipeline_conformer_stack(
     m = num_microbatches or max(1, min(n_stages, x.shape[0] // n_data))
 
     aux = tuple(a for a in (attn_bias, pad_mask) if a is not None)
-    has_bias, has_mask = attn_bias is not None, pad_mask is not None
-
-    def run_local(layers, h, *aux_mb):
-        it = iter(aux_mb)
-        b = next(it) if has_bias else None
-        mk = next(it) if has_mask else None
-        return conformer_stack(layers, h, b, mk, cfg, remat=remat)
-
-    return _pipeline_call(stacked_params, x, aux, run_local, mesh, n_stages, m)
+    fn = _pp_conformer_program(
+        mesh, n_stages, m, cfg, remat,
+        attn_bias is not None, pad_mask is not None,
+    )
+    return fn(stacked_params, x, *aux)
 
 
 def pipeline_text_encode(

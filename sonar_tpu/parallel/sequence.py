@@ -195,22 +195,33 @@ def sequence_conformer_stack(
         raise ValueError("sequence parallelism needs a [B, 1, 1, S] key bias")
 
     si, ci, basis = rel_pos_sin_cos_basis(s, cfg.model_dim)
+    mask = pad_mask if pad_mask is not None else np.ones((b, s), bool)
+    fn = _sp_stack_program(mesh, cfg, n_seq, attn_bias is not None)
+    bias_args = () if attn_bias is None else (attn_bias,)
+    return fn(stacked_params, x, *bias_args, mask,
+              jnp.asarray(si), jnp.asarray(ci), jnp.asarray(basis))
+
+
+@lru_cache(maxsize=64)
+def _sp_stack_program(mesh: Mesh, cfg: ConformerConfig, n_seq: int,
+                      has_bias: bool):
+    """jit(shard_map(sp-loop)), memoized per (mesh, cfg, bias form). An
+    un-jitted shard_map executes eagerly — every primitive in the loop
+    dispatches as its own tiny XLA program — so the sharded stack is staged
+    under one jit; ``P()``/``xspec`` are tree prefixes, keeping the program
+    independent of the params-tree structure."""
     has_data = "data" in mesh.axis_names
     bspec = P("data") if has_data else P()
     xspec = P("data", "seq") if has_data else P(None, "seq")
 
-    if attn_bias is None:
-        def body(p, xx, m, si_, ci_, basis_):
-            return _sp_loop(p, xx, None, m, si_, ci_, basis_, cfg=cfg, n_seq=n_seq)
-        in_specs = (jax.tree.map(lambda _: P(), stacked_params), xspec,
-                    xspec, P(), P(), P())
-        bias_args = ()
-    else:
+    if has_bias:
         body = partial(_sp_loop, cfg=cfg, n_seq=n_seq)
-        in_specs = (jax.tree.map(lambda _: P(), stacked_params), xspec,
-                    bspec, xspec, P(), P(), P())
-        bias_args = (attn_bias,)
-    mask = pad_mask if pad_mask is not None else jnp.ones((b, s), bool)
+        in_specs = (P(), xspec, bspec, xspec, P(), P(), P())
+    else:
+        def body(p, xx, m, si_, ci_, basis_):
+            return _sp_loop(p, xx, None, m, si_, ci_, basis_, cfg=cfg,
+                            n_seq=n_seq)
+        in_specs = (P(), xspec, xspec, P(), P(), P())
 
     fn = jax.shard_map(
         body,
@@ -219,8 +230,7 @@ def sequence_conformer_stack(
         out_specs=xspec,
         check_vma=False,
     )
-    return fn(stacked_params, x, *bias_args, mask,
-              jnp.asarray(si), jnp.asarray(ci), jnp.asarray(basis))
+    return jax.jit(fn)
 
 
 def sequence_speech_encode(

@@ -19,6 +19,24 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Share the suite's persistent compile cache (same CPU-flag-keyed dir
+# scheme as conftest.py — kept inline: importing conftest would drag
+# pytest into every worker) so repeat runs skip the workers' compiles too.
+def _cpu_cache_dir() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            cpu_flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        cpu_flags = ""
+    key = hashlib.sha1(cpu_flags.encode()).hexdigest()[:8]
+    return os.path.expanduser(f"~/.cache/sonar_tpu_xla_tests-{key}")
+
+
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 from sonar_tpu.parallel.multihost import (  # noqa: E402
     global_batch_from_local,
     initialize,
