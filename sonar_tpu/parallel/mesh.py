@@ -100,4 +100,8 @@ def shard_params(params, mesh: Mesh):
 
 
 def replicate(tree, mesh: Mesh):
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    # One jitted identity program for the whole tree (device_put with a
+    # sharding compiles a tiny resharding program per distinct leaf shape).
+    return jax.jit(
+        lambda t: t, out_shardings=NamedSharding(mesh, P())
+    )(tree)

@@ -15,7 +15,7 @@ external tooling. SONAR-TPU implements it natively, TPU-first:
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -304,19 +304,27 @@ def xsim(
     x, y: parallel [N, D] embedding matrices (row i of x translates row i
     of y). Lower is better; 0.0 = perfect retrieval.
     """
-    xn = np.asarray(l2_normalize(jnp.asarray(x, jnp.float32)))
-    yn = np.asarray(l2_normalize(jnp.asarray(y, jnp.float32)))
-    sim = xn @ yn.T                                    # [N, N]
+    pred = np.asarray(_dense_xsim_pred(
+        jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+        k=k, margin=margin,
+    ))
+    err = (pred != np.arange(len(pred))).mean()
+    return float(err * 100.0)
+
+
+@partial(jax.jit, static_argnames=("k", "margin"))
+def _dense_xsim_pred(x: jnp.ndarray, y: jnp.ndarray, k: int, margin: str):
+    """Dense-margin argmax predictions as ONE compiled program (the eager
+    normalize/sort/margin chain cost ~8 tiny XLA compiles per call)."""
+    xn = l2_normalize(x)
+    yn = l2_normalize(y)
+    sim = xn @ yn.T                                    # [N, M]
     kk = min(k, sim.shape[1])
-    topk_xy = np.sort(sim, axis=1)[:, -kk:]            # x -> y neighborhood
-    topk_yx = np.sort(sim.T, axis=1)[:, -kk:]          # y -> x neighborhood
+    topk_xy, _ = jax.lax.top_k(sim, kk)                # x -> y neighborhood
+    topk_yx, _ = jax.lax.top_k(sim.T, kk)              # y -> x neighborhood
     avg_x = topk_xy.mean(axis=1)
     avg_y = topk_yx.mean(axis=1)
-    scores = np.asarray(_margin_scores(jnp.asarray(sim), jnp.asarray(avg_x),
-                                       jnp.asarray(avg_y), margin))
-    pred = scores.argmax(axis=1)
-    err = (pred != np.arange(sim.shape[0])).mean()
-    return float(err * 100.0)
+    return _margin_scores(sim, avg_x, avg_y, margin).argmax(axis=1)
 
 
 def xsim_pp(

@@ -24,16 +24,20 @@ def test_beam_masked_attend_matches_einsum():
             valid = jnp.arange(s)[None, None, None, :] <= idx
             vbias = jnp.where(jnp.arange(s) <= idx, 0.0, -1e30).astype(
                 jnp.float32)
-            # einsum reference (the production XLA path)
-            allowed = (
-                anc[:, :, None, :] == jnp.arange(beam)[None, None, :, None]
-            ) & valid
-            logits = jnp.einsum("bqhd,bhcsd->bhqcs", q, k) * (dh ** -0.5)
-            logits = jnp.where(allowed[:, None], logits, neg)
-            p = jax.nn.softmax(
-                logits.reshape(b, heads, beam, beam * s), axis=-1
-            ).reshape(b, heads, beam, beam, s)
-            want = jnp.einsum("bhqcs,bhcsd->bqhd", p, v)
+            # einsum reference (the production XLA path), one jitted
+            # program per shape/idx instead of ~8 eager op compiles
+            def _ref(q, k, v, anc, valid):
+                allowed = (
+                    anc[:, :, None, :] == jnp.arange(beam)[None, None, :, None]
+                ) & valid
+                logits = jnp.einsum("bqhd,bhcsd->bhqcs", q, k) * (dh ** -0.5)
+                logits = jnp.where(allowed[:, None], logits, neg)
+                p = jax.nn.softmax(
+                    logits.reshape(b, heads, beam, beam * s), axis=-1
+                ).reshape(b, heads, beam, beam, s)
+                return jnp.einsum("bhqcs,bhcsd->bqhd", p, v)
+
+            want = jax.jit(_ref)(q, k, v, anc, valid)
             # kernel, on the merged-BH layout
             qbh = q.transpose(0, 2, 1, 3).reshape(b * heads, beam, dh)
             got = beam_masked_attend(
@@ -90,7 +94,7 @@ def test_beam_reorder_attend_matches_reference():
         got, gk, gv = beam_reorder_attend(
             qb, kn, vn, k, v, sel, vbias, woh, interpret=True
         )
-        want, wk, wv = _xla_reference(
+        want, wk, wv = jax.jit(_xla_reference)(
             qb, kn, vn, k, v, sel, jnp.asarray(idx, jnp.int32)
         )
         np.testing.assert_allclose(np.asarray(gk), np.asarray(wk), atol=1e-6)
@@ -113,7 +117,7 @@ def test_beam_reorder_attend_bf16():
         qb, kn, vn, k, v, sel, vbias, woh, interpret=True
     )
     f32 = lambda t: t.astype(jnp.float32)
-    want, wk, wv = _xla_reference(
+    want, wk, wv = jax.jit(_xla_reference)(
         f32(qb), f32(kn), f32(vn), f32(k), f32(v), sel,
         jnp.asarray(3, jnp.int32),
     )

@@ -92,11 +92,17 @@ def _build():
     return model, runtime
 
 
+@pytest.fixture(scope="module")
+def built():
+    """One HF M2M100 build + weight mapping shared by both penalty params."""
+    return _build()
+
+
 @pytest.mark.parametrize("len_penalty", [1.0, 0.6])
-def test_beam_matches_hf_exact_mode(len_penalty):
+def test_beam_matches_hf_exact_mode(built, len_penalty):
     from transformers.modeling_outputs import BaseModelOutput
 
-    model, runtime = _build()
+    model, runtime = built
     rng = np.random.default_rng(0)
     matches = 0
     for trial in range(5):

@@ -123,11 +123,9 @@ def test_conformer_block_matches_hf_torch(s):
 
     cfg = C.ConformerConfig(model_dim=D, num_layers=1, num_heads=H,
                             ffn_inner_dim=F, depthwise_kernel_size=K)
-    out_ours = np.asarray(
-        C.conformer_block(
-            _params_from_hf(layer), jnp.asarray(x.numpy()), None, None, cfg
-        )
-    )
+    out_ours = np.asarray(jax.jit(
+        lambda pp, xx: C.conformer_block(pp, xx, None, None, cfg)
+    )(_params_from_hf(layer), jnp.asarray(x.numpy())))
     np.testing.assert_allclose(out_ours, out_hf, atol=5e-5)
 
 
@@ -260,5 +258,7 @@ def test_full_speech_encoder_matches_seamless_m4t():
     with torch.no_grad():
         hidden = henc.feature_projection(torch.tensor(stacked))
         want = henc.encoder(hidden).last_hidden_state.numpy()
-    got = np.asarray(ours.apply(params, jnp.asarray(fbank)).encoded_seqs)
+    got = np.asarray(jax.jit(
+        lambda pp, fb: ours.apply(pp, fb).encoded_seqs
+    )(params, jnp.asarray(fbank)))
     np.testing.assert_allclose(got, want, atol=5e-5)

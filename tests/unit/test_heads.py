@@ -71,12 +71,12 @@ def test_blaser_matches_torch_oracle(arch, rng):
         feats = np.concatenate(
             [norm(ref), norm(mt), norm(src) * norm(mt), norm(ref) * norm(mt),
              np.abs(norm(mt) - norm(src)), np.abs(norm(mt) - norm(ref))], axis=-1)
-        got = model.apply(params, jnp.asarray(src), jnp.asarray(mt), jnp.asarray(ref))
+        got = jax.jit(model.apply)(params, jnp.asarray(src), jnp.asarray(mt), jnp.asarray(ref))
     else:
         feats = np.concatenate(
             [norm(src), norm(mt), norm(src) * norm(mt),
              np.abs(norm(mt) - norm(src))], axis=-1)
-        got = model.apply(params, jnp.asarray(src), jnp.asarray(mt))
+        got = jax.jit(model.apply)(params, jnp.asarray(src), jnp.asarray(mt))
     with torch.inference_mode():
         want = seq(torch.tensor(feats)).numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
@@ -90,8 +90,8 @@ def test_blaser_qe_ignores_ref(rng):
     mt = jnp.asarray(rng.normal(size=(2, 1024)), jnp.float32)
     ref = jnp.asarray(rng.normal(size=(2, 1024)), jnp.float32)
     np.testing.assert_array_equal(
-        np.asarray(model.apply(params, src, mt)),
-        np.asarray(model.apply(params, src, mt, ref)),
+        np.asarray(jax.jit(model.apply)(params, src, mt)),
+        np.asarray(jax.jit(model.apply)(params, src, mt, ref)),
     )
 
 
@@ -126,12 +126,12 @@ def test_mutox_matches_torch_oracle(rng):
     model = MutoxClassifier(mutox_archs.get("mutox"))
     params = mutox_params_from_torch(flat)
     x = rng.normal(size=(4, 1024)).astype(np.float32)
-    got = model.apply(params, jnp.asarray(x))
+    got = jax.jit(model.apply)(params, jnp.asarray(x))
     with torch.inference_mode():
         want = seq(torch.tensor(x)).numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
-    probs = np.asarray(model.apply(params, jnp.asarray(x), output_prob=True))
+    probs = np.asarray(jax.jit(lambda p, a: model.apply(p, a, output_prob=True))(params, jnp.asarray(x)))
     assert ((probs >= 0) & (probs <= 1)).all()
 
 
@@ -158,7 +158,7 @@ def test_laser_lstm_matches_torch_oracle(rng):
     seqs = np.asarray([[4, 5, 6, 7, 1, 1], [8, 9, 1, 1, 1, 1]], np.int64)
     lens = np.asarray([4, 2], np.int64)
 
-    got = model.apply(params, jnp.asarray(seqs, jnp.int32), jnp.asarray(lens, jnp.int32))
+    got = jax.jit(model.apply)(params, jnp.asarray(seqs, jnp.int32), jnp.asarray(lens, jnp.int32))
 
     # torch oracle with packed sequences (independent implementation path).
     with torch.inference_mode():

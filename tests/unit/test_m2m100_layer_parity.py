@@ -16,11 +16,19 @@ import pytest
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
+import jax
 import jax.numpy as jnp
 
 from sonar_tpu.nn.transformer import decoder_layer, encoder_layer
 
 D, H, F = 64, 4, 128
+
+
+def _np_causal(s):
+    """Causal bias in numpy (eager jnp ops cost one XLA compile each)."""
+    return np.where(
+        np.arange(s)[None, :] > np.arange(s)[:, None], -np.inf, 0.0
+    ).astype(np.float32)[None, None]
 
 
 def _maps(layer):
@@ -68,9 +76,9 @@ def test_encoder_layer_matches_m2m100(s):
         "ffn": {"inner_proj": lin("fc1"), "output_proj": lin("fc2")},
         "ffn_layer_norm": ln("final_layer_norm"),
     }
-    got = np.asarray(
-        encoder_layer(params, jnp.asarray(x.numpy()), None, H, "relu", "pre")
-    )
+    got = np.asarray(jax.jit(
+        lambda p, xx: encoder_layer(p, xx, None, H, "relu", "pre")
+    )(params, jnp.asarray(x.numpy())))
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
@@ -108,15 +116,10 @@ def test_decoder_layer_matches_m2m100(mem_len):
         "ffn": {"inner_proj": lin("fc1"), "output_proj": lin("fc2")},
         "ffn_layer_norm": ln("final_layer_norm"),
     }
-    causal = jnp.where(
-        jnp.arange(s)[None, :] > jnp.arange(s)[:, None], -jnp.inf, 0.0
-    )[None, None]
-    got = np.asarray(
-        decoder_layer(
-            params, jnp.asarray(x.numpy()), causal, jnp.asarray(mem.numpy()),
-            None, H, "relu", "pre",
-        )
-    )
+    causal = jnp.asarray(_np_causal(s))
+    got = np.asarray(jax.jit(
+        lambda p, xx, c, m: decoder_layer(p, xx, c, m, None, H, "relu", "pre")
+    )(params, jnp.asarray(x.numpy()), causal, jnp.asarray(mem.numpy())))
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
@@ -203,9 +206,9 @@ def test_full_text_encoder_matches_m2m100_encoder():
         want = henc(
             input_ids=torch.tensor(seqs.astype(np.int64)), attention_mask=mask
         ).last_hidden_state.numpy()
-    got = np.asarray(
-        ours.apply(params, jnp.asarray(seqs), jnp.asarray(lens)).encoded_seqs
-    )
+    got = np.asarray(jax.jit(
+        lambda p, s_, l_: ours.apply(p, s_, l_).encoded_seqs
+    )(params, jnp.asarray(seqs), jnp.asarray(lens)))
     np.testing.assert_allclose(got[0], want[0], atol=2e-5)
     np.testing.assert_allclose(got[1][: S - 3], want[1][: S - 3], atol=2e-5)
 
@@ -254,9 +257,9 @@ def test_full_conditional_decoder_matches_m2m100_decoder():
             encoder_hidden_states=torch.tensor(mem),
         ).last_hidden_state
         want = (hid @ torch.tensor(sd["embed_tokens.weight"]).T).numpy()
-    got = np.asarray(
-        ours.forward(params, jnp.asarray(seqs), jnp.asarray(lens), jnp.asarray(mem))
-    )
+    got = np.asarray(jax.jit(ours.forward)(
+        params, jnp.asarray(seqs), jnp.asarray(lens), jnp.asarray(mem)
+    ))
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
@@ -301,13 +304,8 @@ def test_post_norm_decoder_layer_matches_marian():
         "ffn": {"inner_proj": lin("fc1"), "output_proj": lin("fc2")},
         "ffn_layer_norm": ln("final_layer_norm"),
     }
-    causal = jnp.where(
-        jnp.arange(s)[None, :] > jnp.arange(s)[:, None], -jnp.inf, 0.0
-    )[None, None]
-    got = np.asarray(
-        decoder_layer(
-            params, jnp.asarray(x.numpy()), causal, jnp.asarray(mem.numpy()),
-            None, H, "relu", "post",
-        )
-    )
+    causal = jnp.asarray(_np_causal(s))
+    got = np.asarray(jax.jit(
+        lambda p, xx, c, m: decoder_layer(p, xx, c, m, None, H, "relu", "post")
+    )(params, jnp.asarray(x.numpy()), causal, jnp.asarray(mem.numpy())))
     np.testing.assert_allclose(got, want, atol=2e-5)

@@ -25,8 +25,13 @@ def _reference(q, k, v, bd, u, key_bias, scale):
     return jnp.einsum("bhij,bhjd->bhid", p, v)
 
 
-@pytest.mark.parametrize("s,q_block", [(128, 128), (130, 128), (256, 128), (96, 128)])
-def test_relpos_flash_matches_reference(s, q_block):
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("s",))
+def _build_inputs(s):
+    """All test inputs in ONE compiled program (eager building cost one
+    XLA compile per random draw / op, ~10 per parametrization)."""
     rng = jax.random.PRNGKey(0)
     b, h, dh = 2, 2, 64
     mk = lambda i, shape: jax.random.normal(jax.random.fold_in(rng, i), shape) * 0.5
@@ -39,8 +44,18 @@ def test_relpos_flash_matches_reference(s, q_block):
     key_bias = jnp.where(
         jnp.arange(s)[None, :] < lens[:, None], 0.0, jnp.finfo(jnp.float32).min
     )
+    return q, k, v, bd, u, key_bias
 
-    want = _reference(q, k, v, bd, u, key_bias, dh ** -0.5)
+
+_reference_jit = jax.jit(_reference, static_argnames=("scale",))
+
+
+@pytest.mark.parametrize("s,q_block", [(128, 128), (130, 128), (256, 128), (96, 128)])
+def test_relpos_flash_matches_reference(s, q_block):
+    b, h, dh = 2, 2, 64
+    q, k, v, bd, u, key_bias = _build_inputs(s)
+
+    want = _reference_jit(q, k, v, bd, u, key_bias, scale=dh ** -0.5)
     got = relpos_flash_attention(q, k, v, bd, u, key_bias, q_block=q_block,
                                  interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
@@ -64,7 +79,12 @@ def test_conformer_kernel_path_matches_xla_in_interpret(s):
     lens = jnp.asarray([s, max(1, s - 37)], jnp.int32)
     bias = additive_bias(length_mask(lens, s))[:, None, None, :]
 
-    want = C.rel_pos_attention(params, x, bias, cfg)  # XLA (cpu backend)
+    # Fresh jax.jit wrapper PER CALL: one compile each instead of ~20 eager
+    # op dispatches — and separate caches, so the pallas-forced second call
+    # cannot reuse the XLA-path program traced by the first.
+    want = jax.jit(C.rel_pos_attention, static_argnames="cfg")(
+        params, x, bias, cfg=cfg
+    )  # XLA (cpu backend)
 
     orig_call = pl.pallas_call
 
@@ -75,7 +95,9 @@ def test_conformer_kernel_path_matches_xla_in_interpret(s):
     pl.pallas_call = patched
     A.set_attention_impl("pallas")
     try:
-        got = C.rel_pos_attention(params, x, bias, cfg)
+        got = jax.jit(C.rel_pos_attention, static_argnames="cfg")(
+            params, x, bias, cfg=cfg
+        )
     finally:
         pl.pallas_call = orig_call
         A.set_attention_impl("auto")
@@ -132,8 +154,10 @@ def test_long_clip_rel_pos_attention_falls_back(monkeypatch):
 
     A.set_attention_impl("pallas")
     try:
-        got = C.rel_pos_attention(params, x, bias, cfg)
+        got = jax.jit(C.rel_pos_attention, static_argnames="cfg")(
+            params, x, bias, cfg=cfg
+        )
     finally:
         A.set_attention_impl("auto")
     assert got.shape == (1, s, 128)
-    assert bool(jnp.isfinite(got).all())
+    assert bool(np.isfinite(np.asarray(got)).all())

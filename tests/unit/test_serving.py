@@ -219,11 +219,19 @@ def test_non_object_json_body_is_rejected(server):
     assert len(out["embeddings"]) == 1
 
 
-def test_server_warmup_flag(tmp_path_factory):
+def test_server_warmup_flag(tmp_path_factory, monkeypatch):
     """warmup=True precompiles the embed path at construction; serving
-    results are unchanged. Small buckets keep the toy warmup fast."""
+    results are unchanged. Small buckets keep the toy warmup fast: the
+    subject is the flag wiring, not the full serving bucket set (covered
+    by test_encoder_warmup_compiles_serving_shapes), so the fine-grained
+    static buckets are monkeypatched down to two."""
     import dataclasses
 
+    import sonar_tpu.inference_pipelines.text as text_mod
+
+    monkeypatch.setattr(
+        text_mod, "_static_len_buckets_for", lambda max_len: (8, max_len)
+    )
     tok2 = build_toy_nllb(tmp_path_factory.mktemp("warm"))
     cfg = sonar_text_encoder_archs.get("toy")
     cfg = dataclasses.replace(cfg, max_seq_len=16)

@@ -94,7 +94,7 @@ def test_remat_gradients_match():
     def loss(model):
         def fn(p):
             return jnp.sum(model.apply(p, seqs, lens).sentence_embeddings ** 2)
-        return jax.grad(fn)(params)
+        return jax.jit(jax.grad(fn))(params)  # jit: eager grad dispatches per-op
 
     g1, g2 = loss(plain), loss(remat)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
@@ -125,13 +125,15 @@ def test_classifier_train_step_reduces_loss():
     def loss_fn(p, b, r):
         return classifier_loss(encoder, head, p, b, r)
 
-    grads = jax.grad(lambda p: loss_fn(p, batch, None))(params)
+    grads = jax.jit(jax.grad(lambda p: loss_fn(p, batch, None)))(params)
     enc_norm = sum(
-        float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["encoder"])
+        np.abs(np.asarray(g)).sum()
+        for g in jax.tree_util.tree_leaves(grads["encoder"])
     )
     assert enc_norm == 0.0  # frozen by default
     head_norm = sum(
-        float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["head"])
+        np.abs(np.asarray(g)).sum()
+        for g in jax.tree_util.tree_leaves(grads["head"])
     )
     assert head_norm > 0.0
 
@@ -170,14 +172,17 @@ def test_classifier_loss_multiclass_and_unfrozen():
         "lens": jnp.full((4,), 6, jnp.int32),
         "labels": jnp.asarray(rng.integers(0, 5, size=(4,)), jnp.int32),
     }
-    loss = classifier_loss(encoder, head, params, batch)
+    loss = jax.jit(lambda p, b: classifier_loss(encoder, head, p, b))(
+        params, batch
+    )
     assert np.isfinite(float(loss))
 
-    grads = jax.grad(
+    grads = jax.jit(jax.grad(
         lambda p: classifier_loss(encoder, head, p, batch, freeze_encoder=False)
-    )(params)
+    ))(params)
     enc_norm = sum(
-        float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["encoder"])
+        np.abs(np.asarray(g)).sum()
+        for g in jax.tree_util.tree_leaves(grads["encoder"])
     )
     assert enc_norm > 0.0  # end-to-end gradients flow when unfrozen
 
@@ -218,7 +223,9 @@ def test_distillation_train_step_reduces_loss():
     assert losses[-1] < losses[0] * 0.9, losses
 
     # cosine objective: bounded in [0, 2], differentiable
-    c = distillation_loss(model, params, batch, objective="cosine")
+    c = jax.jit(
+        lambda p, b: distillation_loss(model, p, b, objective="cosine")
+    )(params, batch)
     assert 0.0 <= float(c) <= 2.0
     with pytest.raises(ValueError, match="objective"):
         distillation_loss(model, params, batch, objective="nope")
