@@ -62,3 +62,22 @@ if os.environ.get("SONAR_TPU_TEST_GC", "0") != "1":
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _coarse_static_buckets(monkeypatch):
+    """Coarsen the serving static-batching bucket set for the whole suite.
+
+    The shipping fine-grained set (single-token granularity around the
+    length mode) is a padding-waste tuning, chip-A/B'd in bench.py — not a
+    semantic contract. Each populated bucket costs one toy-encoder XLA
+    compile (plus a stacked variant) wherever the static path runs; the
+    coarse set keeps every code path (non-pow2 boundaries, tail coarsening,
+    max-len cap) while cutting those compiles ~3x. Tests that pass explicit
+    ``len_buckets`` are unaffected; batcher boundary logic is covered
+    host-only in test_batcher.py against arbitrary bucket sets."""
+    import sonar_tpu.inference_pipelines.text as text_mod
+
+    monkeypatch.setattr(
+        text_mod, "STATIC_LEN_BUCKETS", (8, 12, 16, 24, 32, 48, 64, 128, 256, 512)
+    )
