@@ -265,6 +265,8 @@ def sharded_xsim(
     k: int = 4,
     margin: str = "ratio",
     axis: str = "data",
+    dot_dtype=None,
+    approx: bool = False,
 ) -> float:
     """Mesh-scaled xsim: margin scoring from sharded top-k lists only.
 
@@ -275,6 +277,11 @@ def sharded_xsim(
     approximation (the margin argmax can in principle fall outside the
     cosine top-k, but with the protocol's k=4 this matches dense evaluation
     on real embedding distributions; asserted against dense xsim in tests).
+
+    ``dot_dtype``/``approx`` select the similarity precision and per-block
+    selection exactly as in ``cosine_topk`` (int8 + approx is the
+    large-bank throughput mode used by ``mine_bitexts``); the default
+    fp32/exact settings reproduce dense xsim.
     """
     xq = jnp.asarray(x, jnp.float32)
     yq = jnp.asarray(y, jnp.float32)
@@ -282,8 +289,12 @@ def sharded_xsim(
     # over-large k would -inf-pad the top-k and poison the averages)
     k = min(k, xq.shape[0], yq.shape[0])
     # x -> y candidates and neighborhood averages
-    s_xy, i_xy = sharded_cosine_topk(xq, yq, k, mesh, axis)   # [N, k]
-    s_yx, _ = sharded_cosine_topk(yq, xq, k, mesh, axis)      # [N, k]
+    s_xy, i_xy = sharded_cosine_topk(
+        xq, yq, k, mesh, axis, dot_dtype=dot_dtype, approx=approx
+    )                                                          # [N, k]
+    s_yx, _ = sharded_cosine_topk(
+        yq, xq, k, mesh, axis, dot_dtype=dot_dtype, approx=approx
+    )                                                          # [N, k]
     avg_x = np.asarray(s_xy).mean(axis=1)                      # [N]
     avg_y = np.asarray(s_yx).mean(axis=1)                      # [N]
     scores = np.asarray(s_xy)
@@ -443,10 +454,15 @@ def sharded_xsim_pp(
     k: int = 4,
     margin: str = "ratio",
     axis: str = "data",
+    dot_dtype=None,
+    approx: bool = False,
 ) -> float:
     """Mesh-scaled xsim++: the xsim protocol with distractor targets
     appended to the candidate bank (a distractor pick counts as an error
     exactly like any other wrong index, so this is ``sharded_xsim`` over
     the extended bank; asserted against dense ``xsim_pp`` in tests)."""
     y_all = np.concatenate([np.asarray(y), np.asarray(y_distractors)], axis=0)
-    return sharded_xsim(x, y_all, mesh, k=k, margin=margin, axis=axis)
+    return sharded_xsim(
+        x, y_all, mesh, k=k, margin=margin, axis=axis,
+        dot_dtype=dot_dtype, approx=approx,
+    )
