@@ -14,6 +14,7 @@ Axes:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -89,19 +90,36 @@ def data_sharding(mesh: Mesh, *batch_axes_specs) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+@functools.lru_cache(maxsize=128)
+def _identity_jit(shardings_flat, treedef):
+    """Memoized jitted identity keyed on the (flattened) shardings tree.
+
+    A fresh ``jax.jit(lambda t: t, ...)`` per call is a new PjitFunction:
+    jit's trace cache never hits and every call pays retrace+lower even
+    when tree/mesh are identical. NamedSharding and treedefs are hashable,
+    so the jit instance (and with it the trace/compile cache) is reused
+    across calls with the same shardings."""
+    shardings = jax.tree_util.tree_unflatten(treedef, list(shardings_flat))
+    return jax.jit(lambda t: t, out_shardings=shardings)
+
+
+def _identity_put(tree, shardings):
+    flat, treedef = jax.tree_util.tree_flatten(shardings)
+    return _identity_jit(tuple(flat), treedef)(tree)
+
+
 def shard_params(params, mesh: Mesh):
     """Place a host pytree onto the mesh according to the TP rules.
 
     Staged as ONE jitted identity program with per-leaf out_shardings:
     ``jax.device_put`` with a shardings tree compiles a separate tiny
     resharding program per distinct leaf shape (~27 for a toy model)."""
-    shardings = param_shardings(params, mesh)
-    return jax.jit(lambda t: t, out_shardings=shardings)(params)
+    return _identity_put(params, param_shardings(params, mesh))
 
 
 def replicate(tree, mesh: Mesh):
-    # One jitted identity program for the whole tree (device_put with a
-    # sharding compiles a tiny resharding program per distinct leaf shape).
-    return jax.jit(
-        lambda t: t, out_shardings=NamedSharding(mesh, P())
-    )(tree)
+    # One memoized jitted identity program for the whole tree (device_put
+    # with a sharding compiles a tiny resharding program per leaf shape).
+    sharding = NamedSharding(mesh, P())
+    shardings = jax.tree_util.tree_map(lambda _: sharding, tree)
+    return _identity_put(tree, shardings)

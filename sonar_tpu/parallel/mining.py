@@ -330,7 +330,10 @@ def _dense_xsim_pred(x: jnp.ndarray, y: jnp.ndarray, k: int, margin: str):
     xn = l2_normalize(x)
     yn = l2_normalize(y)
     sim = xn @ yn.T                                    # [N, M]
-    kk = min(k, sim.shape[1])
+    # Clamp to BOTH axes: top_k(sim, kk) needs kk <= M, top_k(sim.T, kk)
+    # needs kk <= N (tiny parallel sets raised ValueError with the
+    # M-only clamp; sharded_xsim already clamps min(k, N, M)).
+    kk = min(k, sim.shape[0], sim.shape[1])
     topk_xy, _ = jax.lax.top_k(sim, kk)                # x -> y neighborhood
     topk_yx, _ = jax.lax.top_k(sim.T, kk)              # y -> x neighborhood
     avg_x = topk_xy.mean(axis=1)

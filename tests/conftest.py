@@ -64,6 +64,16 @@ def rng():
     return np.random.default_rng(0)
 
 
+# Original shipping bucket set, captured before the autouse coarsening so
+# test_batcher.py can still validate the production tuple's invariants.
+_REAL_STATIC_LEN_BUCKETS = {}
+
+
+@pytest.fixture
+def real_static_len_buckets():
+    return _REAL_STATIC_LEN_BUCKETS["v"]
+
+
 @pytest.fixture(autouse=True)
 def _coarse_static_buckets(monkeypatch):
     """Coarsen the serving static-batching bucket set for the whole suite.
@@ -78,6 +88,7 @@ def _coarse_static_buckets(monkeypatch):
     host-only in test_batcher.py against arbitrary bucket sets."""
     import sonar_tpu.inference_pipelines.text as text_mod
 
+    _REAL_STATIC_LEN_BUCKETS.setdefault("v", text_mod.STATIC_LEN_BUCKETS)
     monkeypatch.setattr(
         text_mod, "STATIC_LEN_BUCKETS", (8, 12, 16, 24, 32, 48, 64, 128, 256, 512)
     )

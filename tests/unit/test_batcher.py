@@ -128,3 +128,25 @@ def test_interleaved_generators_do_not_share_state():
     out2 = next(g1)                  # still (batch, indices) after g2 started
     assert isinstance(out2, tuple) and len(out2[1])
     list(g1), list(g2)
+
+
+def test_production_static_len_buckets_invariants(real_static_len_buckets,
+                                                  monkeypatch):
+    """The suite-wide autouse fixture coarsens STATIC_LEN_BUCKETS, so no
+    other test ever executes the shipping tuple — validate the production
+    default's invariants host-only (no encoder compiles)."""
+    import sonar_tpu.inference_pipelines.text as text_mod
+
+    b = real_static_len_buckets
+    assert b, "production bucket set must be non-empty"
+    assert all(isinstance(x, int) and x > 0 for x in b)
+    assert list(b) == sorted(set(b)), "buckets must be sorted and unique"
+    # _static_len_buckets_for must cap at max_len exactly once, keep order,
+    # and never emit a bucket above the cap — for caps below, inside, at,
+    # and beyond the tuple's range.
+    monkeypatch.setattr(text_mod, "STATIC_LEN_BUCKETS", b)
+    for max_len in (1, 7, 8, 33, b[-1], b[-1] + 1, 4096):
+        lb = text_mod._static_len_buckets_for(max_len)
+        assert lb[-1] == max_len
+        assert all(x < max_len for x in lb[:-1])
+        assert list(lb) == sorted(set(lb))

@@ -74,4 +74,14 @@ def test_fbank_matches_seamless_m4t(fx, which):
     loud, mid = depth < 12.0, (depth >= 12.0) & (depth < 24.0)
     np.testing.assert_allclose(out[loud], ref[loud], atol=2e-3, rtol=1e-4)
     np.testing.assert_allclose(out[mid], ref[mid], atol=0.15)
-    np.testing.assert_allclose(out[~(loud | mid)], ref[~(loud | mid)], atol=1.0)
+    # The ~1-nat band exists ONLY to absorb the suite's
+    # --xla_backend_optimization_level=0 reassociation shift; under the
+    # production XLA config (no flag) the notch bins hold 0.3 nats, so a
+    # genuine quiet-bin regression is not masked when run standalone.
+    import os
+
+    opt0 = "xla_backend_optimization_level=0" in os.environ.get("XLA_FLAGS", "")
+    notch_atol = 1.0 if opt0 else 0.3
+    np.testing.assert_allclose(
+        out[~(loud | mid)], ref[~(loud | mid)], atol=notch_atol
+    )

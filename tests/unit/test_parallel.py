@@ -208,6 +208,19 @@ def test_xsim_perfect_and_noisy():
     assert xsim_pp(x, x, x + 100.0) == 0.0
 
 
+def test_xsim_tiny_n_below_k():
+    """N < k parallel sets: top_k(sim.T, kk) needs kk <= N, so the dense
+    path must clamp k to BOTH axes (regression: xsim_pp on N=3 + wide
+    distractors raised ValueError with the M-only clamp)."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(3, 16)).astype(np.float32)
+    assert xsim(x, x, k=4) == 0.0
+    assert xsim_pp(x, x, rng.normal(size=(20, 16)).astype(np.float32) + 50.0,
+                   k=4) == 0.0
+    # degenerate single-pair set
+    assert xsim(x[:1], x[:1], k=4) == 0.0
+
+
 def test_mesh_sharded_beam_decode_matches_single_device(tmp_path):
     """DP-sharded generation (JitTextDecoder(mesh=)): identical outputs to
     the unsharded runtime — GSPMD partitions the whole beam while_loop over
