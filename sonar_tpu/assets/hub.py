@@ -31,7 +31,7 @@ def load_text_encoder(name: str, dtype=jnp.float32):
     return JitTextEncoder(model, params)
 
 
-def load_text_decoder(name: str, dtype=jnp.float32):
+def load_text_decoder(name: str, dtype=jnp.float32, quantize=None):
     from sonar_tpu.generation.decoder_runtime import JitTextDecoder
     from sonar_tpu.models.sonar_text import sonar_text_decoder_archs
     from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
@@ -47,7 +47,7 @@ def load_text_decoder(name: str, dtype=jnp.float32):
         import jax
 
         params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype), params)
-    return JitTextDecoder(model, params)
+    return JitTextDecoder(model, params, quantize=quantize)
 
 
 def load_speech_encoder(name: str, dtype=jnp.float32):

@@ -34,8 +34,14 @@ class _BeamHandle:
 
 class JitTextDecoder:
     def __init__(self, model: ConditionalTransformerDecoder, params,
-                 quantize: bool = False, mesh=None):
+                 quantize: bool | None = None, mesh=None):
         self.model = model
+        if quantize is None:
+            # None = "use the gauntlet-gated serving default" (False until
+            # real-checkpoint int8 parity is proven; see ops/quantization.py).
+            from sonar_tpu.ops.quantization import INT8_DECODE_VALIDATED
+
+            quantize = INT8_DECODE_VALIDATED
         if quantize:
             # int8 decoder weights (opt-in). Chip A/B after the carry+dus
             # cache and cross-collapse rework

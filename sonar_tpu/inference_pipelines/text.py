@@ -577,11 +577,12 @@ class TextToTextModelPipeline:
     Reference: ``sonar/inference_pipelines/text.py:57-137``.
     """
 
-    def __init__(self, encoder, decoder, tokenizer, device=None, dtype=None) -> None:
+    def __init__(self, encoder, decoder, tokenizer, device=None, dtype=None,
+                 quantize=None) -> None:
         from sonar_tpu.generation.text_converter import TextTranslator
 
         self.model = _resolve_encoder(encoder, dtype)
-        self.decoder = _resolve_decoder(decoder, dtype)
+        self.decoder = _resolve_decoder(decoder, dtype, quantize=quantize)
         self.tokenizer = _resolve_tokenizer(tokenizer)
         self._translator_cls = TextTranslator
 
@@ -677,8 +678,9 @@ class EmbeddingToTextModelPipeline:
     Reference: ``sonar/inference_pipelines/text.py:272-346``.
     """
 
-    def __init__(self, decoder, tokenizer, device=None, dtype=None) -> None:
-        self.decoder = _resolve_decoder(decoder, dtype)
+    def __init__(self, decoder, tokenizer, device=None, dtype=None,
+                 quantize=None) -> None:
+        self.decoder = _resolve_decoder(decoder, dtype, quantize=quantize)
         self.tokenizer = _resolve_tokenizer(tokenizer)
 
     def warmup(
@@ -745,7 +747,7 @@ class EmbeddingToTextModelPipeline:
         return [x for y in results for x in y]
 
 
-def _resolve_decoder(decoder, dtype=None):
+def _resolve_decoder(decoder, dtype=None, quantize=None):
     from sonar_tpu.generation.decoder_runtime import JitTextDecoder
 
     if isinstance(decoder, JitTextDecoder):
@@ -755,9 +757,11 @@ def _resolve_decoder(decoder, dtype=None):
 
         from sonar_tpu.assets.hub import load_text_decoder
 
-        return load_text_decoder(decoder, dtype=dtype or jnp.float32)
+        return load_text_decoder(
+            decoder, dtype=dtype or jnp.float32, quantize=quantize
+        )
     if isinstance(decoder, tuple):
-        return JitTextDecoder(decoder[0], decoder[1])
+        return JitTextDecoder(decoder[0], decoder[1], quantize=quantize)
     raise TypeError(
         "decoder must be a card name, JitTextDecoder, or (ConditionalTransformerDecoder, params)"
     )

@@ -18,6 +18,14 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
+# Gated serving default for int8 BEAM DECODE (measured +6-13% p50 on chip,
+# see generation/decoder_runtime.py). ``JitTextDecoder(quantize=None)``
+# resolves to this flag; scripts/post_gauntlet.py flips it to True once the
+# published-checkpoint golden gauntlet proves exact-string translation
+# parity with int8 weights (PARITY.md "Known parity risks"). Explicit
+# ``quantize=True/False`` always wins over the flag.
+INT8_DECODE_VALIDATED = False  # GAUNTLET-FLIP: int8-decode-default
+
 Params = Dict[str, Any]
 
 _QUANT_KEYS = (
