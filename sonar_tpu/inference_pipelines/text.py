@@ -56,6 +56,40 @@ def _static_len_buckets_for(max_len: int) -> tuple:
 _STATIC_ENCODE_WINDOW = 64
 
 
+class EncodeStats:
+    """Thread-safe padded-vs-true token accounting across every encoder
+    dispatch path (``encode_batch`` / ``encode_batches`` /
+    ``encode_batches_iter``). Feeds the serving ``/metrics``
+    padding-waste gauge; negligible cost (two host-side int adds per
+    batch)."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._lock = threading.Lock()
+        self.batches = 0
+        self.true_tokens = 0
+        self.padded_tokens = 0
+
+    def add(self, batch: SequenceBatch) -> None:
+        padded = int(np.prod(batch.seqs.shape))
+        true = int(np.asarray(batch.seq_lens)[: batch.true_batch].sum())
+        with self._lock:
+            self.batches += 1
+            self.true_tokens += true
+            self.padded_tokens += padded
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            b, t, p = self.batches, self.true_tokens, self.padded_tokens
+        return {
+            "batches": b,
+            "true_tokens": t,
+            "padded_tokens": p,
+            "padding_waste": round(1.0 - t / p, 4) if p else 0.0,
+        }
+
+
 class JitTextEncoder:
     """Shape-bucketed jit wrapper around a SonarTextEncoder + params.
 
@@ -113,6 +147,7 @@ class JitTextEncoder:
             return out
 
         self._stack_fn = jax.jit(_stacked, static_argnames=("kernels_off",))
+        self.stats = EncodeStats()
 
     def _kernels_off(self) -> bool:
         from sonar_tpu.ops.attention import kernels_off_for
@@ -187,6 +222,7 @@ class JitTextEncoder:
         """``materialize=False`` returns the (trimmed) device array — for
         device-to-device handoff (e.g. encode -> beam decode in the
         translation path), skipping a host round trip."""
+        self.stats.add(batch)
         seqs = jnp.asarray(batch.seqs)
         lens = jnp.asarray(batch.seq_lens)
         if self.mesh is not None:
@@ -223,6 +259,7 @@ class JitTextEncoder:
         k = self.dispatch_stack
         by_shape: dict = {}
         for i, b in enumerate(batches):
+            self.stats.add(b)
             by_shape.setdefault(b.seqs.shape, []).append(i)
         futures: List = [None] * len(batches)  # device arrays or (stack, row)
         for idx_list in by_shape.values():
@@ -323,6 +360,7 @@ class JitTextEncoder:
 
         n_rolled = 0
         for b in batch_iter:
+            self.stats.add(b)
             i = len(trims)
             trims.append(b.true_batch)
             futures.append(None)

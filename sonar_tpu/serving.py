@@ -19,6 +19,8 @@ API:
     POST /embed_speech  {"audios": [[...16 kHz floats...], ...]}
         -> {"embeddings": [[...], ...], "dim": D}  (if a speech encoder is configured)
     GET  /healthz -> {"status": "ok", "pending": N}
+    GET  /metrics -> per-endpoint request/batch counters, latency
+                     percentiles, batch occupancy, encoder padding waste
 """
 
 from __future__ import annotations
@@ -27,6 +29,8 @@ import json
 import logging
 import queue
 import threading
+import time
+from collections import deque
 from concurrent.futures import Future
 from concurrent.futures import TimeoutError as FutureTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -35,6 +39,70 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+def _percentile(sorted_vals: list, q: float) -> float:
+    if not sorted_vals:
+        return 0.0
+    idx = min(len(sorted_vals) - 1, int(round(q * (len(sorted_vals) - 1))))
+    return sorted_vals[idx]
+
+
+class EndpointMetrics:
+    """Thread-safe per-endpoint serving metrics (SURVEY §5 metrics row).
+
+    Counters are monotonic for the server's lifetime; latency and
+    batch-occupancy gauges are computed over bounded reservoirs of the most
+    recent observations (O(1) memory, recency-weighted like production
+    sliding-window percentiles)."""
+
+    def __init__(self, window: int = 2048):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.items = 0          # sentences / waveforms / texts across requests
+        self.batches = 0        # predict calls issued by the micro-batcher
+        self.batch_items = 0    # items across those predict calls
+        self.errors = 0         # 4xx/5xx replies
+        self.timeouts = 0       # server-side 504s (subset of errors)
+        self._lat: deque = deque(maxlen=window)      # seconds, ok requests
+        self._occ: deque = deque(maxlen=window)      # items per predict call
+
+    def observe_request(self, n_items: int, latency_s: float,
+                        ok: bool, timeout: bool = False) -> None:
+        with self._lock:
+            self.requests += 1
+            self.items += n_items
+            if ok:
+                self._lat.append(latency_s)
+            else:
+                self.errors += 1
+                if timeout:
+                    self.timeouts += 1
+
+    def observe_batch(self, n_items: int) -> None:
+        with self._lock:
+            self.batches += 1
+            self.batch_items += n_items
+            self._occ.append(n_items)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            occ = list(self._occ)
+            out = {
+                "requests": self.requests,
+                "items": self.items,
+                "batches": self.batches,
+                "batch_items": self.batch_items,
+                "errors": self.errors,
+                "timeouts": self.timeouts,
+            }
+        out["latency_p50_ms"] = round(_percentile(lat, 0.50) * 1e3, 2)
+        out["latency_p95_ms"] = round(_percentile(lat, 0.95) * 1e3, 2)
+        out["batch_occupancy_mean"] = (
+            round(sum(occ) / len(occ), 2) if occ else 0.0
+        )
+        return out
 
 
 class MicroBatcher:
@@ -52,8 +120,10 @@ class MicroBatcher:
         predict_fn: Callable[[List, object], Sequence],
         max_items: int = 256,
         max_wait_ms: float = 5.0,
+        metrics: Optional[EndpointMetrics] = None,
     ):
         self.predict_fn = predict_fn
+        self.metrics = metrics
         self.max_items = max_items
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
@@ -90,8 +160,6 @@ class MicroBatcher:
         batch = [first]
         total = len(first[0])
         deadline = self.max_wait
-        import time
-
         t0 = time.monotonic()
         while total < self.max_items:
             remaining = deadline - (time.monotonic() - t0)
@@ -131,6 +199,8 @@ class MicroBatcher:
                 self._resolve(fut, exc=e)
         for key, group in by_key.items():
             flat = [t for items, _ in group for t in items]
+            if self.metrics is not None:
+                self.metrics.observe_batch(len(flat))
             try:
                 out = self.predict_fn(flat, key)
             except Exception as e:
@@ -200,12 +270,19 @@ class EmbeddingServer:
                 translator.warmup()
             if speech_pipeline is not None and hasattr(speech_pipeline, "warmup"):
                 speech_pipeline.warmup()
+        self.metrics = {
+            "embed": EndpointMetrics(),
+            "translate": EndpointMetrics(),
+            "embed_speech": EndpointMetrics(),
+        }
+        self._pipeline = pipeline
         self.batcher = MicroBatcher(
             lambda texts, lang: pipeline.predict(
                 texts, source_lang=lang, batching="static"
             ),
             max_sentences,
             max_wait_ms,
+            metrics=self.metrics["embed"],
         )
         self.translate_batcher = (
             MicroBatcher(
@@ -214,6 +291,7 @@ class EmbeddingServer:
                 ),
                 max_sentences,
                 max_wait_ms,
+                metrics=self.metrics["translate"],
             )
             if translator is not None
             else None
@@ -223,6 +301,7 @@ class EmbeddingServer:
                 lambda audios, _key: speech_pipeline.predict(audios),
                 max_sentences,
                 max_wait_ms,
+                metrics=self.metrics["embed_speech"],
             )
             if speech_pipeline is not None
             else None
@@ -235,6 +314,7 @@ class EmbeddingServer:
                 logger.debug("http: " + fmt, *args)
 
             def _reply(self, code: int, payload: dict) -> None:
+                self._last_code = code
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
@@ -250,6 +330,20 @@ class EmbeddingServer:
                         if b is not None
                     )
                     self._reply(200, {"status": "ok", "pending": pending})
+                elif self.path == "/metrics":
+                    payload = {
+                        ep: m.snapshot() for ep, m in server.metrics.items()
+                    }
+                    enc_stats = getattr(
+                        getattr(server._pipeline, "model", None), "stats", None
+                    )
+                    if enc_stats is not None:
+                        # Padded-vs-true token accounting from the encoder's
+                        # dispatch paths: the TPU-side cost of the static
+                        # shape buckets (bench.py reports ~5% on NLLB-like
+                        # length mixes).
+                        payload["embed"]["encoder"] = enc_stats.snapshot()
+                    self._reply(200, payload)
                 else:
                     self._reply(404, {"error": "unknown path"})
 
@@ -281,10 +375,28 @@ class EmbeddingServer:
                 return lang
 
             def do_POST(self):
+                self._t0 = time.monotonic()
+                self._ep: Optional[str] = None
+                self._n_items = 0
+                try:
+                    self._do_POST_inner()
+                finally:
+                    if self._ep is not None:
+                        code = getattr(self, "_last_code", 500)
+                        server.metrics[self._ep].observe_request(
+                            self._n_items,
+                            time.monotonic() - self._t0,
+                            ok=(code == 200),
+                            timeout=(code == 504),
+                        )
+
+            def _do_POST_inner(self):
                 try:
                     req = self._read_json_object()
                     if self.path == "/embed":
+                        self._ep = "embed"
                         texts = self._texts_of(req)
+                        self._n_items = len(texts)
                         lang = self._lang_of(req, "lang", "eng_Latn")
                         if not texts:
                             self._reply(200, {"embeddings": [], "dim": 0})
@@ -299,10 +411,12 @@ class EmbeddingServer:
                             },
                         )
                     elif self.path == "/translate":
+                        self._ep = "translate"
                         if server.translate_batcher is None:
                             self._reply(404, {"error": "no translator configured"})
                             return
                         texts = self._texts_of(req)
+                        self._n_items = len(texts)
                         if "source_lang" not in req or "target_lang" not in req:
                             raise KeyError("source_lang/target_lang required")
                         langs = (self._lang_of(req, "source_lang"),
@@ -313,12 +427,15 @@ class EmbeddingServer:
                         fut = server.translate_batcher.submit(texts, langs)
                         self._reply(200, {"translations": list(self._await(fut))})
                     elif self.path == "/embed_speech":
+                        self._ep = "embed_speech"
                         if server.speech_batcher is None:
                             self._reply(
                                 404, {"error": "no speech encoder configured"}
                             )
                             return
                         audios = req["audios"]
+                        if isinstance(audios, list):
+                            self._n_items = len(audios)
                         if not isinstance(audios, list) or not all(
                             isinstance(a, list) and a for a in audios
                         ):

@@ -52,8 +52,17 @@ def test_embed_roundtrip_matches_direct_predict(server):
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def _get_metrics(addr) -> dict:
+    return json.loads(
+        urllib.request.urlopen(
+            f"http://{addr[0]}:{addr[1]}/metrics", timeout=10
+        ).read()
+    )
+
+
 def test_concurrent_requests_are_batched_and_correct(server):
     srv, pipe = server
+    before = _get_metrics(srv.address)["embed"]
     texts_per_client = [[f"hello {w}"] for w in ("world", "cat", "paul", "name")]
     results = [None] * len(texts_per_client)
 
@@ -74,6 +83,33 @@ def test_concurrent_requests_are_batched_and_correct(server):
         np.testing.assert_allclose(
             np.asarray(res["embeddings"], np.float32), want, atol=1e-4
         )
+
+    # /metrics must account the concurrent load: 4 requests / 4 sentences
+    # reached the endpoint, every sentence went through a predict batch
+    # (coalesced into <= 4 micro-batches), latencies were observed, and the
+    # encoder's padding gauge reflects real padded dispatches.
+    after = _get_metrics(srv.address)["embed"]
+    assert after["requests"] - before["requests"] == 4
+    assert after["items"] - before["items"] == 4
+    assert after["errors"] == before["errors"]
+    assert after["batch_items"] - before["batch_items"] == 4
+    assert 1 <= after["batches"] - before["batches"] <= 4
+    assert after["latency_p50_ms"] > 0
+    assert after["latency_p95_ms"] >= after["latency_p50_ms"]
+    assert after["batch_occupancy_mean"] >= 1
+    enc = after["encoder"]
+    assert enc["padded_tokens"] >= enc["true_tokens"] > 0
+    assert 0.0 <= enc["padding_waste"] < 1.0
+
+
+def test_metrics_counts_errors_and_timeouts_separately(server):
+    srv, _ = server
+    before = _get_metrics(srv.address)["embed"]
+    with pytest.raises(urllib.error.HTTPError):
+        _post(srv.address, {"texts": ["x"], "lang": "xx_Fake"})
+    after = _get_metrics(srv.address)["embed"]
+    assert after["errors"] - before["errors"] == 1
+    assert after["timeouts"] == before["timeouts"]  # 400s are not 504s
 
 
 def test_error_paths(server):
