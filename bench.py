@@ -4,8 +4,12 @@ Prints ONE final JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 plus ``#``-prefixed context lines covering the other two BASELINE.json
-north-star metrics (speech-encode RTFx, p50 beam-decode latency), so every
-round's driver record carries all three numbers.
+north-star metrics (speech-encode RTFx, p50 beam-decode latency), an MFU
+line per metric (effective TFLOPS/TOPS from the analytic matmul op count in
+``sonar_tpu/utils/flops.py`` against the public v5e peaks), and ONE
+tunnel-health line (measured per-dispatch cost, D2H MB/s, probe-retry
+count) — so every round's driver record is self-auditing: a throughput
+swing can be attributed to chip vs tunnel from the record alone.
 
 Baseline = the BASELINE.json north-star of 10,000 sentences/sec/chip for
 SONAR ``basic`` text encoding on TPU v5e (the reference publishes no
@@ -75,17 +79,19 @@ def _probe_once(timeout: float = 90.0):
 
 
 def _probe(attempts: int = 3):
+    """Returns (ok, err, failed_probe_count) — the count feeds the
+    tunnel-health line so a degraded-tunnel run is visible in the record."""
     err = ""
     for i in range(attempts):
         ok, err = _probe_once()
         if ok:
-            return True, ""
+            return True, "", i
         wait = 15.0 * (i + 1)
         print(f"# chip probe failed (attempt {i + 1}/{attempts}): {err}; "
               f"retrying in {wait:.0f}s", flush=True)
         if i + 1 < attempts:
             time.sleep(wait)
-    return False, err
+    return False, err, attempts
 
 
 def _emit_failure(reason: str) -> None:
@@ -99,8 +105,10 @@ def supervise() -> int:
     deadline = float(os.environ.get("SONAR_TPU_BENCH_TIMEOUT", 3300))
     attempts = int(os.environ.get("SONAR_TPU_BENCH_ATTEMPTS", 2))
     last_err = "unknown"
+    probe_failures = 0
     for attempt in range(attempts):
-        ok, err = _probe()
+        ok, err, fails = _probe()
+        probe_failures += fails
         if not ok:
             # Tunnel stalls have been observed to last several minutes
             # (CLAUDE.md): a failed probe burns this attempt and cools down
@@ -111,9 +119,15 @@ def supervise() -> int:
             if attempt + 1 < attempts:
                 time.sleep(120.0)
             continue
+        child_env = dict(
+            os.environ,
+            SONAR_TPU_BENCH_PROBE_RETRIES=str(probe_failures),
+            SONAR_TPU_BENCH_ATTEMPT=str(attempt + 1),
+        )
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--child"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=child_env,
         )
         timer = threading.Timer(deadline, proc.kill)
         timer.start()
@@ -294,11 +308,36 @@ def measure_text_encode() -> float:
     for i, p in enumerate(passes):  # warm the checksum/stack shapes too
         _with_retries(lambda p=p: run_pass(p), f"checksum warmup pass {i}")
 
-    rates = []
+    from sonar_tpu.utils.flops import mfu, transformer_encoder_flops
+
+    def pass_flops(batches):
+        # Padded shapes = the work the chip executes; stacking same-shape
+        # dispatches does not change the total.
+        return sum(
+            transformer_encoder_flops(
+                config.model_dim, config.ffn_inner_dim,
+                config.num_encoder_layers, b.seqs.shape[0], b.seqs.shape[1],
+            )
+            for b in batches
+        )
+
+    rates, tflops = [], []
     for batches in passes:
         t0 = time.perf_counter()
         total = run_pass(batches)
-        rates.append(total / (time.perf_counter() - t0))
+        dt = time.perf_counter() - t0
+        rates.append(total / dt)
+        tflops.append(pass_flops(batches) / dt / 1e12)
+
+    eff = sorted(tflops)[len(tflops) // 2]
+    print("# " + json.dumps({
+        "metric": "text_encode_mfu",
+        "value": round(mfu(eff * 1e12, precision), 3),
+        "unit": f"fraction of v5e {precision} peak",
+        "detail": f"{eff:.0f} effective T{'OPS' if precision == 'int8' else 'FLOPS'} "
+                  f"(analytic matmul ops / median pass wall; attention stays "
+                  f"bf16 in int8 mode, so int8-peak MFU is conservative)",
+    }), flush=True)
 
     t0 = time.perf_counter()
     outs = encoder.encode_batches(passes[0])
@@ -378,6 +417,21 @@ def measure_speech_rtfx() -> None:
                   f"english arch bf16",
     }), flush=True)
 
+    from sonar_tpu.utils.flops import conformer_encoder_flops, mfu
+    conf = model.config.conformer
+    seq = max_frames // model.config.frontend.fbank_stride
+    eff = conformer_encoder_flops(
+        conf.model_dim, conf.ffn_inner_dim, conf.num_layers,
+        conf.depthwise_kernel_size, B, seq,
+    ) / t
+    print("# " + json.dumps({
+        "metric": "speech_encode_mfu",
+        "value": round(mfu(eff, "bf16"), 3),
+        "unit": "fraction of v5e bf16 peak",
+        "detail": f"{eff / 1e12:.0f} effective TFLOPS (analytic Conformer "
+                  f"matmul ops at seq={seq} / slope-timed batch device time)",
+    }), flush=True)
+
 
 def measure_decode_p50() -> None:
     """p50 beam-decode latency in the parity-exact serving mode: full
@@ -430,8 +484,79 @@ def measure_decode_p50() -> None:
                   f"{B * G2 / times[G2]:.0f} tok/s, p50 of {PASSES} passes",
     }), flush=True)
 
+    from sonar_tpu.utils.flops import decoder_step_flops, mfu
+    dcfg = model.config
+    eff = decoder_step_flops(
+        dcfg.model_dim, dcfg.ffn_inner_dim, dcfg.num_decoder_layers,
+        dcfg.vocab_info.size, B * K, cache_len=(G1 + G2) / 2,
+    ) / (step_ms / 1e3)
+    print("# " + json.dumps({
+        "metric": "beam_decode_mfu",
+        "value": round(mfu(eff, "bf16"), 3),
+        "unit": "fraction of v5e bf16 peak",
+        "detail": f"{eff / 1e12:.1f} effective TFLOPS per marginal step "
+                  f"(B*K={B * K} rows; single-token decode is HBM-bound, "
+                  f"so low MFU is expected — track the trend, not the level)",
+    }), flush=True)
+
+
+def measure_tunnel_health() -> None:
+    """One tail line that lets a reader attribute chip vs tunnel: measured
+    per-dispatch fixed cost, D2H bandwidth, and the supervisor's probe
+    failure count for THIS run (the r4 record halved its host-delivery
+    number with no way to tell a degraded tunnel from a regression)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
+    tiny = jax.jit(lambda a: (a * 1.000001).sum())
+    ident = jax.jit(lambda a: a * 1.000001)
+    rng = np.random.default_rng(0)
+    np.asarray(tiny(jnp.arange(128, dtype=jnp.float32)))  # warm compile
+    warm = ident(jnp.asarray(rng.normal(size=(2_000_000,)).astype(np.float32)))
+    np.asarray(warm)
+
+    # Fixed per-dispatch round trip: tiny op, fresh host input each pass
+    # (identical args hit the tunnel's content cache — CLAUDE.md).
+    ts = []
+    for i in range(9):
+        x = jnp.arange(128, dtype=jnp.float32) + float(i)
+        t0 = time.perf_counter()
+        np.asarray(tiny(x))
+        ts.append(time.perf_counter() - t0)
+    dispatch_s = sorted(ts)[len(ts) // 2]
+
+    # D2H bandwidth: time only the 8 MB download of an already-computed
+    # result (distinct data per pass), net of the fixed dispatch cost.
+    ds = []
+    for _ in range(3):
+        buf = jnp.asarray(rng.normal(size=(2_000_000,)).astype(np.float32))
+        out = ident(buf)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(out)
+        ds.append(time.perf_counter() - t0)
+    d2h_s = sorted(ds)[len(ds) // 2]
+    mb_per_s = 8.0 / max(d2h_s - dispatch_s, 1e-6)
+
+    print("# " + json.dumps({
+        "metric": "tunnel_health",
+        "dispatch_ms": round(dispatch_s * 1e3, 1),
+        "d2h_mb_per_s": round(mb_per_s, 1),
+        "probe_retries": int(os.environ.get("SONAR_TPU_BENCH_PROBE_RETRIES", 0)),
+        "child_attempt": int(os.environ.get("SONAR_TPU_BENCH_ATTEMPT", 1)),
+        "detail": "healthy baseline on this box: ~30 ms dispatch, ~25 MB/s "
+                  "D2H; far off -> read throughput deltas as tunnel, not chip",
+    }), flush=True)
+
 
 def child_main() -> None:
+    try:
+        measure_tunnel_health()
+    except Exception as e:  # noqa: BLE001 — health line must not cost the run
+        print(f"# tunnel health probe failed: {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
+
     sents_per_sec = measure_text_encode()
 
     if os.environ.get("SONAR_TPU_BENCH_AUX", "1") != "0":
