@@ -100,4 +100,33 @@ with mesh:
     checksum = float(jax.jit(lambda e: jnp.sum(jnp.abs(e)))(emb))
     assert np.isfinite(checksum) and checksum > 0.0
 
-print(f"MULTIHOST_WORKER_OK {proc_id} total={total} checksum={checksum:.4f}")
+# -- sharded mining across processes (VERDICT r4 #6) -----------------------
+# The headline scale-out use case: sharded_cosine_topk / mine_bitexts over
+# the same spanning mesh, asserted equal to the single-device path. Same
+# deterministic banks on every host (mining shards the BANK over the mesh
+# axis, so inputs are replicated, not per-host).
+from sonar_tpu.parallel.mining import (  # noqa: E402
+    cosine_topk,
+    mine_bitexts,
+    sharded_cosine_topk,
+)
+
+bank_rng = np.random.default_rng(7)
+x_bank = bank_rng.normal(size=(16, 8)).astype(np.float32)
+y_bank = bank_rng.normal(size=(24, 8)).astype(np.float32)
+with mesh:
+    s_scores, s_idx = sharded_cosine_topk(x_bank, y_bank, k=4, mesh=mesh)
+    d_scores, d_idx = cosine_topk(x_bank, y_bank, k=4)
+    np.testing.assert_array_equal(np.asarray(s_idx), np.asarray(d_idx))
+    np.testing.assert_allclose(
+        np.asarray(s_scores), np.asarray(d_scores), atol=1e-6
+    )
+    m_src, m_tgt, m_margin = mine_bitexts(x_bank, y_bank, k=4, mesh=mesh)
+    l_src, l_tgt, l_margin = mine_bitexts(x_bank, y_bank, k=4)
+    np.testing.assert_array_equal(m_src, l_src)
+    np.testing.assert_array_equal(m_tgt, l_tgt)
+    np.testing.assert_allclose(m_margin, l_margin, atol=1e-6)
+assert len(m_src) > 0  # the random banks must actually mine some pairs
+
+print(f"MULTIHOST_WORKER_OK {proc_id} total={total} checksum={checksum:.4f} "
+      f"mined={len(m_src)}")
