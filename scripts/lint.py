@@ -385,6 +385,53 @@ class Checker(ast.NodeVisitor):
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
+def check_annotations(tree: ast.Module) -> list[tuple[int, str, str]]:
+    """Public-surface annotation coverage (the ``py.typed`` promise).
+
+    mypy is unavailable in this environment (the reference CI type-checks
+    ``sonar/``, lint_and_test.yml:44; scripts/check.sh auto-runs mypy if it
+    ever appears), so this enforces the verifiable subset with ``ast``:
+    every public function — module-level ``def`` or method of a public
+    module-level class, name not ``_``-prefixed (plus ``__init__``) — must
+    annotate all parameters except self/cls (ANN001) and its return unless
+    it is ``__init__`` (ANN201). Applied to ``sonar_tpu/`` only.
+    """
+    findings: list[tuple[int, str, str]] = []
+
+    def check_fn(fn, qualname: str) -> None:
+        a = fn.args
+        params = (
+            a.posonlyargs + a.args + a.kwonlyargs
+            + ([a.vararg] if a.vararg else [])
+            + ([a.kwarg] if a.kwarg else [])
+        )
+        for p in params:
+            if p.arg in ("self", "cls"):
+                continue
+            if p.annotation is None:
+                findings.append((
+                    fn.lineno, "ANN001",
+                    f"public function '{qualname}' parameter '{p.arg}' "
+                    f"missing type annotation",
+                ))
+        if fn.returns is None and fn.name != "__init__":
+            findings.append((
+                fn.lineno, "ANN201",
+                f"public function '{qualname}' missing return annotation",
+            ))
+
+    for st in tree.body:
+        if isinstance(st, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            if not st.name.startswith("_"):
+                check_fn(st, st.name)
+        elif isinstance(st, ast.ClassDef) and not st.name.startswith("_"):
+            for sub in st.body:
+                if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    if not sub.name.startswith("_") or sub.name == "__init__":
+                        check_fn(sub, f"{st.name}.{sub.name}")
+    return findings
+
+
 def check_file(path: Path) -> list[str]:
     src = path.read_text(encoding="utf-8")
     try:
@@ -395,6 +442,8 @@ def check_file(path: Path) -> list[str]:
     # __init__.py modules are re-export surfaces: every import is public API.
     checker = Checker(str(path), check_unused_imports=path.name != "__init__.py")
     checker.check_module(tree)
+    if "sonar_tpu" in path.parts:
+        checker.findings.extend(check_annotations(tree))
     lines = src.splitlines()
     return [
         f"{path}:{line}: {code} {msg}"

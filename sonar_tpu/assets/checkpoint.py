@@ -22,14 +22,14 @@ Torch is used host-side only, for unpickling ``.pt`` files.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Union
 
 import numpy as np
 
 # -- generic helpers ----------------------------------------------------------
 
 
-def load_torch_state_dict(path) -> Dict[str, np.ndarray]:
+def load_torch_state_dict(path: "Union[str, Path]") -> Dict[str, np.ndarray]:
     """Load a .pt checkpoint into {flat_key: np.ndarray} (host-side torch)."""
     import torch
 
@@ -298,10 +298,10 @@ def unflatten_params(flat: Dict[str, np.ndarray]) -> Dict:
     return root
 
 
-def save_params(path, params: Dict) -> None:
+def save_params(path: "Union[str, Path]", params: Dict) -> None:
     np.savez(path, **flatten_params(params))
 
 
-def load_params(path) -> Dict:
+def load_params(path: "Union[str, Path]") -> Dict:
     with np.load(path) as z:
         return unflatten_params({k: z[k] for k in z.files})

@@ -7,13 +7,20 @@ Counterpart of fairseq2's ``ModelHubAccessor`` pattern
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING, Any, Optional
+
 import jax.numpy as jnp
 
 from sonar_tpu.assets import checkpoint as ckpt
 from sonar_tpu.assets.store import cached_path, default_store
 
+if TYPE_CHECKING:
+    from sonar_tpu.generation.decoder_runtime import JitTextDecoder
+    from sonar_tpu.inference_pipelines.speech import JitSpeechEncoder
+    from sonar_tpu.inference_pipelines.text import JitTextEncoder
 
-def load_text_encoder(name: str, dtype=jnp.float32):
+
+def load_text_encoder(name: str, dtype: Any = jnp.float32) -> "JitTextEncoder":
     from sonar_tpu.inference_pipelines.text import JitTextEncoder
     from sonar_tpu.models.sonar_text import SonarTextEncoder, sonar_text_encoder_archs
 
@@ -31,7 +38,8 @@ def load_text_encoder(name: str, dtype=jnp.float32):
     return JitTextEncoder(model, params)
 
 
-def load_text_decoder(name: str, dtype=jnp.float32, quantize=None):
+def load_text_decoder(name: str, dtype: Any = jnp.float32,
+                      quantize: Optional[bool] = None) -> "JitTextDecoder":
     from sonar_tpu.generation.decoder_runtime import JitTextDecoder
     from sonar_tpu.models.sonar_text import sonar_text_decoder_archs
     from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
@@ -50,7 +58,7 @@ def load_text_decoder(name: str, dtype=jnp.float32, quantize=None):
     return JitTextDecoder(model, params, quantize=quantize)
 
 
-def load_speech_encoder(name: str, dtype=jnp.float32):
+def load_speech_encoder(name: str, dtype: Any = jnp.float32) -> "JitSpeechEncoder":
     from sonar_tpu.assets.checkpoint_speech import speech_encoder_params
     from sonar_tpu.inference_pipelines.speech import JitSpeechEncoder
     from sonar_tpu.models.sonar_speech.config import sonar_speech_encoder_archs
@@ -70,7 +78,7 @@ def load_speech_encoder(name: str, dtype=jnp.float32):
     return JitSpeechEncoder(model, params)
 
 
-def load_blaser_model(name: str):
+def load_blaser_model(name: str) -> tuple:
     """-> (BlaserModel, params). Reference: ``sonar/models/blaser/loader.py``."""
     from sonar_tpu.models.blaser.model import (
         BlaserModel,
@@ -84,7 +92,7 @@ def load_blaser_model(name: str):
     return BlaserModel(config), blaser_params_from_torch(flat)
 
 
-def load_mutox_model(name: str):
+def load_mutox_model(name: str) -> tuple:
     """-> (MutoxClassifier, params). Reference: ``sonar/models/mutox/loader.py``."""
     from sonar_tpu.models.mutox.model import (
         MutoxClassifier,
@@ -98,7 +106,7 @@ def load_mutox_model(name: str):
     return MutoxClassifier(config), mutox_params_from_torch(flat)
 
 
-def load_laser2_model(name: str):
+def load_laser2_model(name: str) -> tuple:
     """-> (LaserLstmEncoder, params)."""
     from sonar_tpu.models.laser2_text.model import (
         LaserLstmEncoder,
@@ -153,7 +161,7 @@ def get_text_tokenizer_hub() -> _Hub:
     return _Hub(lambda name, **kw: load_tokenizer(name))
 
 
-def load_tokenizer(name: str):
+def load_tokenizer(name: str) -> Any:
     store = default_store()
     card = store.tokenizer_card(name)
     path = cached_path(card.model)

@@ -18,7 +18,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, Union
+from typing import Any, Dict, Union
 
 import numpy as np
 
@@ -151,7 +151,7 @@ class FileMapper:
         return {"path": str(path), "data": data}
 
 
-def write_wav(path: Union[str, Path], waveform: np.ndarray, sample_rate: int = 16000):
+def write_wav(path: Union[str, Path], waveform: np.ndarray, sample_rate: int = 16000) -> Any:
     """Write mono/multi PCM16 wav (test fixtures)."""
     x = np.asarray(waveform)
     if x.ndim == 1:

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Callable, List, Optional, Tuple
+from typing import Any, Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +57,7 @@ class BeamSearchConfig:
     approx_topk: bool = False
 
     @classmethod
-    def from_kwargs(cls, model_max_len: int, **kwargs) -> "BeamSearchConfig":
+    def from_kwargs(cls, model_max_len: int, **kwargs: Any) -> "BeamSearchConfig":
         """Map reference generator kwargs (incl. ``max_seq_len``) to a config.
 
         Unknown kwargs raise: the reference forwards ``**generator_kwargs``
@@ -203,7 +203,7 @@ def _length_norm(scores: jnp.ndarray, lengths: jnp.ndarray, config) -> jnp.ndarr
 
 def beam_search_lax(
     step_fn: Callable,
-    cache,
+    cache: dict,
     prefix_tokens: jnp.ndarray,
     eos_idx: int,
     vocab_size: int,

@@ -8,7 +8,7 @@ sampling generation with shape-bucketed jit caching. The full generation loop
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,8 +33,8 @@ class _BeamHandle:
 
 
 class JitTextDecoder:
-    def __init__(self, model: ConditionalTransformerDecoder, params,
-                 quantize: bool | None = None, mesh=None):
+    def __init__(self, model: ConditionalTransformerDecoder, params: dict,
+                 quantize: bool | None = None, mesh: Optional["jax.sharding.Mesh"] = None):
         self.model = model
         if quantize is None:
             # None = "use the gauntlet-gated serving default" (False until
@@ -85,7 +85,7 @@ class JitTextDecoder:
         return kernels_off_for(self.mesh)
 
     @property
-    def dtype(self):
+    def dtype(self) -> Any:
         return self.model.dtype
 
     @property
@@ -93,12 +93,12 @@ class JitTextDecoder:
         return self.model.max_target_len
 
     @property
-    def vocab_info(self):
+    def vocab_info(self) -> Any:
         return self.model.config.vocab_info
 
     # -- scoring (teacher-forced logits) --------------------------------------
 
-    def score(self, seqs, seq_lens, memory) -> np.ndarray:
+    def score(self, seqs: Any, seq_lens: Any, memory: Any) -> np.ndarray:
         return np.asarray(
             self._score_fn(
                 self.params, jnp.asarray(seqs),
@@ -288,7 +288,7 @@ class JitTextDecoder:
         self,
         memory: np.ndarray,
         prefix_ids: Sequence[int],
-        sampler,
+        sampler: Any,
         max_gen_len: int,
         min_gen_len: int = 1,
         seed: int = 0,

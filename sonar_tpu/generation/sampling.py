@@ -9,7 +9,7 @@ Replaces fairseq2's ``SamplingSeq2SeqGenerator`` + ``TopPSampler`` /
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,11 +75,11 @@ jax.tree_util.register_pytree_node(
 
 def sample_lax(
     step_fn: Callable,
-    cache,
+    cache: dict,
     prefix_tokens: jnp.ndarray,
     eos_idx: int,
     vocab_size: int,
-    sampler,
+    sampler: Any,
     rng: jax.Array,
     max_gen_len: int,
     min_gen_len: int = 1,

@@ -9,7 +9,7 @@ SentencePiece-decoded with control tokens filtered.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Any, Iterable, Iterator, List, Sequence, Union
 
 import numpy as np
 
@@ -30,11 +30,11 @@ def _decode_hypotheses(tokenizer, tokens: np.ndarray, lens: np.ndarray) -> List[
 class EmbeddingToTextConverter:
     def __init__(
         self,
-        decoder,
-        tokenizer,
+        decoder: Any,
+        tokenizer: Any,
         target_lang: str,
         gen_config: BeamSearchConfig,
-        sampler=None,
+        sampler: Any = None,
         seed: int = 0,
     ):
         self.decoder = decoder
@@ -45,14 +45,14 @@ class EmbeddingToTextConverter:
         target_encoder = tokenizer.create_encoder(lang=target_lang, mode="target")
         self.prefix_ids: List[int] = list(target_encoder.prefix_indices)
 
-    def batch_convert(self, embeddings) -> List[str]:
+    def batch_convert(self, embeddings: Union[np.ndarray, Any]) -> List[str]:
         """[B, D] sentence embeddings -> B decoded strings.
 
         Accepts numpy OR a device array (the translation path hands the
         encoder output over on device, skipping a host round trip)."""
         return self.finish_convert(self.dispatch_convert(embeddings))
 
-    def dispatch_convert(self, embeddings):
+    def dispatch_convert(self, embeddings: Union[np.ndarray, Any]) -> Any:
         """Start decoding a batch without blocking; resolve the returned
         handle with ``finish_convert``. Beam decode dispatches async
         (``generate_beam_async``); sampling has no async path and resolves
@@ -75,7 +75,7 @@ class EmbeddingToTextConverter:
             memory, self.prefix_ids, self.gen_config
         )
 
-    def finish_convert(self, handle) -> List[str]:
+    def finish_convert(self, handle: Any) -> List[str]:
         """Materialize a ``dispatch_convert`` handle -> decoded strings."""
         if isinstance(handle, list):  # eager sampling result
             return handle
@@ -88,9 +88,9 @@ class TextTranslator:
 
     def __init__(
         self,
-        encoder,
-        decoder,
-        tokenizer,
+        encoder: Any,
+        decoder: Any,
+        tokenizer: Any,
         source_lang: str,
         target_lang: str,
         gen_config: BeamSearchConfig,
@@ -119,7 +119,7 @@ class TextTranslator:
     def batch_translate(self, texts: Sequence[str]) -> List[str]:
         return self.converter.finish_convert(self.dispatch_translate(texts))
 
-    def dispatch_translate(self, texts: Sequence[str]):
+    def dispatch_translate(self, texts: Sequence[str]) -> Any:
         """Tokenize + collate + dispatch encode and decode, returning an
         in-flight handle (resolve with ``converter.finish_convert``)."""
         encode_batch = getattr(self.source_encoder, "encode_batch", None)
@@ -137,7 +137,8 @@ class TextTranslator:
             embeddings = self.encoder.encode_batch(batch)
         return self.converter.dispatch_convert(embeddings)
 
-    def translate_stream(self, chunks, window: int = 2):
+    def translate_stream(self, chunks: Iterable[Sequence[str]],
+                         window: int = 2) -> Iterator[List[str]]:
         """Pipelined translation over an iterator of text chunks.
 
         Keeps up to ``window`` batches in flight: batch i+1's host stages

@@ -23,7 +23,7 @@ class AudioDatasetConfig(DatasetConfig):
     audio_column: str = "audio"
     sampling_rate: int = 16000
 
-    def load_dataset(self):
+    def load_dataset(self) -> Any:
         import datasets
 
         ds = super().load_dataset()

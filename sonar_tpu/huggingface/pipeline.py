@@ -58,7 +58,7 @@ class DatasetConfig:
     rank: int = 0
     streaming: bool = False
 
-    def load_dataset(self):
+    def load_dataset(self) -> Any:
         import datasets
 
         ds = datasets.load_dataset(

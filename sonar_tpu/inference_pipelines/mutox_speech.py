@@ -8,7 +8,7 @@ classifier over the pooled embeddings.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Any, List, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -22,7 +22,8 @@ from sonar_tpu.inference_pipelines.speech import (
 )
 
 class MutoxSpeechClassifierPipeline(SpeechModelPipelineInterface):
-    def __init__(self, mutox_classifier, encoder, device=None) -> None:
+    def __init__(self, mutox_classifier: Any, encoder: Any,
+                 device: Any = None) -> None:
         super().__init__()
         self.model = _resolve_speech_encoder(encoder)
         if isinstance(mutox_classifier, str):
@@ -34,7 +35,7 @@ class MutoxSpeechClassifierPipeline(SpeechModelPipelineInterface):
 
     @classmethod
     def load_model_from_name(
-        cls, mutox_classifier_name: str, encoder_name: str, device=None
+        cls, mutox_classifier_name: str, encoder_name: str, device: Any = None
     ) -> "MutoxSpeechClassifierPipeline":
         return cls(mutox_classifier_name, encoder_name, device)
 
@@ -48,7 +49,7 @@ class MutoxSpeechClassifierPipeline(SpeechModelPipelineInterface):
             self._run_classifier
         )
 
-    def build_pipeline(self, context: SpeechInferenceParams):
+    def build_pipeline(self, context: SpeechInferenceParams) -> Any:
         return self.prebuild_pipeline(context).and_return()
 
     def predict(

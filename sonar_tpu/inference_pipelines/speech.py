@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import Any, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +52,11 @@ def _bucket_len(n: int) -> int:
 class JitSpeechEncoder:
     """Waveform batches -> embeddings, fused fbank+encoder jit per bucket."""
 
-    def __init__(self, model: SonarSpeechEncoder, params, fbank_config=None,
-                 quantize: bool = False, mesh=None, fbank_dtype=None):
+    def __init__(self, model: SonarSpeechEncoder, params: dict,
+                 fbank_config: Optional[FbankConfig] = None,
+                 quantize: bool = False,
+                 mesh: Optional["jax.sharding.Mesh"] = None,
+                 fbank_dtype: Any = None):
         self.model = model
         if fbank_config is None:
             # Derive the mel-bin count from the model's frontend so any
@@ -110,7 +113,7 @@ class JitSpeechEncoder:
         return kernels_off_for(self.mesh)
 
     @property
-    def dtype(self):
+    def dtype(self) -> Any:
         return self.model.dtype
 
     @property
@@ -239,7 +242,8 @@ class SpeechModelPipelineInterface:
 
 
 class SpeechToEmbeddingModelPipeline(SpeechModelPipelineInterface):
-    def __init__(self, encoder, device=None, fbank_dtype=None) -> None:
+    def __init__(self, encoder: Union[str, JitSpeechEncoder, tuple],
+                 device: Any = None, fbank_dtype: Any = None) -> None:
         super().__init__()
         self.model = _resolve_speech_encoder(encoder, fbank_dtype=fbank_dtype)
 
@@ -291,7 +295,9 @@ class SpeechToEmbeddingModelPipeline(SpeechModelPipelineInterface):
 
 
 class SpeechToTextModelPipeline(SpeechModelPipelineInterface):
-    def __init__(self, encoder, decoder, tokenizer, device=None, fbank_dtype=None) -> None:
+    def __init__(self, encoder: Union[str, JitSpeechEncoder, tuple],
+                 decoder: Any, tokenizer: Any, device: Any = None,
+                 fbank_dtype: Any = None) -> None:
         super().__init__()
         from sonar_tpu.inference_pipelines.text import (
             _resolve_decoder,
@@ -311,7 +317,7 @@ class SpeechToTextModelPipeline(SpeechModelPipelineInterface):
         pad_idx: int = 0,
         n_prefetched_batches: int = 2,
         progress_bar: bool = False,
-        **generator_kwargs,
+        **generator_kwargs: Any,
     ) -> List[str]:
         from sonar_tpu.generation.beam_search import BeamSearchConfig
         from sonar_tpu.generation.text_converter import EmbeddingToTextConverter
@@ -402,7 +408,7 @@ class AudioToFbankDataPipelineBuilder:
 
 
 class SpeechToEmbeddingPipeline:
-    def __init__(self, model) -> None:
+    def __init__(self, model: Union[str, JitSpeechEncoder, tuple]) -> None:
         self.model = _resolve_speech_encoder(model)
         self._audio_builder = AudioToFbankDataPipelineBuilder()
 
@@ -415,12 +421,12 @@ class SpeechToEmbeddingPipeline:
             self.model.encode_waveforms
         )
 
-    def build_pipeline(self, context: SpeechInferenceParams):
+    def build_pipeline(self, context: SpeechInferenceParams) -> Any:
         return self.prebuild_pipeline(context).and_return()
 
 
 class SpeechToTextPipeline:
-    def __init__(self, model, tokenizer) -> None:
+    def __init__(self, model: Tuple[Any, Any], tokenizer: Any) -> None:
         from sonar_tpu.inference_pipelines.text import _resolve_tokenizer
 
         self.encoder, self.decoder = model
@@ -465,5 +471,5 @@ class SpeechToTextPipeline:
 
         return self._audio_builder.prebuild_pipeline(context).map(generate)
 
-    def build_pipeline(self, context: SpeechInferenceParams):
+    def build_pipeline(self, context: SpeechInferenceParams) -> Any:
         return self.prebuild_pipeline(context).and_return()

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import warnings
 from pathlib import Path
-from typing import List, Optional, Sequence, Union
+from typing import Any, Iterable, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -98,8 +98,10 @@ class JitTextEncoder:
     checkpoint layout is unchanged).
     """
 
-    def __init__(self, model: SonarTextEncoder, params, fuse_qkv: bool = True,
-                 quantize: bool = False, mesh=None, dispatch_stack: int = 8):
+    def __init__(self, model: SonarTextEncoder, params: dict,
+                 fuse_qkv: bool = True, quantize: bool = False,
+                 mesh: Optional["jax.sharding.Mesh"] = None,
+                 dispatch_stack: int = 8):
         self.model = model
         # Same-shape batches are stacked [k, B, S] and run as ONE scanned
         # dispatch (``encode_batches``): the device round-trip costs ~20-30 ms
@@ -155,7 +157,7 @@ class JitTextEncoder:
         return kernels_off_for(self.mesh)
 
     @property
-    def dtype(self):
+    def dtype(self) -> Any:
         return self.model.dtype
 
     @property
@@ -168,7 +170,7 @@ class JitTextEncoder:
 
     def warmup(
         self,
-        len_buckets=None,
+        len_buckets: Optional[Sequence[int]] = None,
         tokens_per_batch: int = 8192,
         include_stacked: bool = True,
     ) -> int:
@@ -314,7 +316,7 @@ class JitTextEncoder:
         return out
 
     def encode_batches_iter(
-        self, batch_iter, max_pending: int = 64
+        self, batch_iter: Iterable[SequenceBatch], max_pending: int = 64
     ) -> List[np.ndarray]:
         """Streaming ``encode_batches``: dispatch stacked same-shape batches
         AS THEY ARRIVE from a (typically prefetch-threaded) iterator.
@@ -449,10 +451,10 @@ class TextToEmbeddingModelPipeline:
 
     def __init__(
         self,
-        encoder,
-        tokenizer,
-        device=None,
-        dtype=None,
+        encoder: Union[str, JitTextEncoder, tuple],
+        tokenizer: Any,
+        device: Any = None,
+        dtype: Any = None,
     ) -> None:
         self.model = _resolve_encoder(encoder, dtype)
         self.tokenizer = _resolve_tokenizer(tokenizer)
@@ -466,7 +468,7 @@ class TextToEmbeddingModelPipeline:
         batch_max_tokens: Optional[int] = None,
         max_seq_len: Optional[int] = None,
         progress_bar: bool = False,
-        target_device=None,
+        target_device: Any = None,
         batching: str = "dynamic",
     ) -> np.ndarray:
         """``batching="dynamic"`` keeps the reference's token-budget
@@ -615,8 +617,9 @@ class TextToTextModelPipeline:
     Reference: ``sonar/inference_pipelines/text.py:57-137``.
     """
 
-    def __init__(self, encoder, decoder, tokenizer, device=None, dtype=None,
-                 quantize=None) -> None:
+    def __init__(self, encoder: Union[str, JitTextEncoder, tuple],
+                 decoder: Any, tokenizer: Any, device: Any = None,
+                 dtype: Any = None, quantize: Optional[bool] = None) -> None:
         from sonar_tpu.generation.text_converter import TextTranslator
 
         self.model = _resolve_encoder(encoder, dtype)
@@ -628,7 +631,7 @@ class TextToTextModelPipeline:
         self,
         batch_size: int = 5,
         target_lang: Optional[str] = None,
-        **generator_kwargs,
+        **generator_kwargs: Any,
     ) -> int:
         """Precompile the translation serving shapes (cold-start control;
         see ``JitTextEncoder.warmup``): the encoder forward at each
@@ -677,7 +680,7 @@ class TextToTextModelPipeline:
         target_lang: str,
         batch_size: int = 5,
         progress_bar: bool = False,
-        **generator_kwargs,
+        **generator_kwargs: Any,
     ) -> List[str]:
         from sonar_tpu.generation.beam_search import BeamSearchConfig
 
@@ -716,8 +719,8 @@ class EmbeddingToTextModelPipeline:
     Reference: ``sonar/inference_pipelines/text.py:272-346``.
     """
 
-    def __init__(self, decoder, tokenizer, device=None, dtype=None,
-                 quantize=None) -> None:
+    def __init__(self, decoder: Any, tokenizer: Any, device: Any = None,
+                 dtype: Any = None, quantize: Optional[bool] = None) -> None:
         self.decoder = _resolve_decoder(decoder, dtype, quantize=quantize)
         self.tokenizer = _resolve_tokenizer(tokenizer)
 
@@ -725,7 +728,7 @@ class EmbeddingToTextModelPipeline:
         self,
         batch_size: int = 5,
         target_lang: Optional[str] = None,
-        **generator_kwargs,
+        **generator_kwargs: Any,
     ) -> int:
         """Precompile the beam program ``predict`` will hit at this
         ``batch_size`` / generator config (cold-start control; see
@@ -754,8 +757,8 @@ class EmbeddingToTextModelPipeline:
         target_lang: str,
         batch_size: int = 5,
         progress_bar: bool = False,
-        sampler=None,
-        **generator_kwargs,
+        sampler: Any = None,
+        **generator_kwargs: Any,
     ) -> List[str]:
         from sonar_tpu.generation.beam_search import BeamSearchConfig
         from sonar_tpu.generation.text_converter import EmbeddingToTextConverter

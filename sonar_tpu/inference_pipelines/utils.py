@@ -8,14 +8,14 @@ from __future__ import annotations
 
 import contextlib
 import math
-from typing import Iterable, Optional, Sized
+from typing import Iterable, Iterator, Optional, Sized
 
 import jax
 import jax.numpy as jnp
 
 
 @contextlib.contextmanager
-def precision_context(dtype):
+def precision_context(dtype: "jnp.dtype") -> Iterator[None]:
     """Map model dtype -> XLA matmul precision (reference text.py:36-54).
 
     fp32 models get 'highest' (true fp32 MXU passes) for numerical parity;
@@ -32,7 +32,7 @@ def add_progress_bar(
     iterable: Iterable,
     inputs: Optional[Sized] = None,
     batch_size: Optional[int] = None,
-):
+) -> Iterable:
     """Wrap with tqdm when available (reference utils.py:24-46)."""
     try:
         from tqdm.auto import tqdm

@@ -118,7 +118,7 @@ def create_blaser_model(config: BlaserConfig) -> BlaserModel:
     return BlaserModel(config)
 
 
-def blaser_params_from_torch(flat) -> Params:
+def blaser_params_from_torch(flat: dict) -> Params:
     """torch Sequential state (``mlp.{i}.weight``) -> param tree.
 
     Sequential indices include Dropout/Tanh modules; Linear layers are the

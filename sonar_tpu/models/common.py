@@ -66,5 +66,5 @@ class ConfigRegistry(Generic[C]):
             )
         return self._archs[name]()
 
-    def names(self):
+    def names(self) -> list:
         return sorted(self._archs)

@@ -53,7 +53,7 @@ def _toy() -> Laser2Config:
 
 
 class LaserLstmEncoder:
-    def __init__(self, config: Laser2Config, dtype=jnp.float32):
+    def __init__(self, config: Laser2Config, dtype: "jnp.dtype" = jnp.float32):
         self.config = config
         self.dtype = dtype
         self.output_units = config.hidden_size * (2 if config.bidirectional else 1)
@@ -87,7 +87,7 @@ class LaserLstmEncoder:
         return jnp.max(outs, axis=0)
 
 
-def laser2_params_from_torch(flat) -> Params:
+def laser2_params_from_torch(flat: dict) -> Params:
     """torch LaserLstmEncoder state dict -> param tree (same key names)."""
     params: Params = {"embed_tokens": {"weight": flat["embed_tokens.weight"]},
                       "lstm": {}}

@@ -64,7 +64,7 @@ def create_mutox_model(config: MutoxConfig) -> MutoxClassifier:
     return MutoxClassifier(config)
 
 
-def mutox_params_from_torch(flat) -> Params:
+def mutox_params_from_torch(flat: dict) -> Params:
     """torch nested-Sequential keys (``model_all.{g}.1.weight``) -> tree.
 
     Each group g in (0, 1, 2) holds [Dropout|ReLU, Linear]; the Linear sits

@@ -16,7 +16,7 @@ Functional counterpart of ``SonarSpeechEncoderModel``
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,8 @@ from sonar_tpu.ops.masks import additive_bias, length_mask
 
 
 class SonarSpeechEncoder:
-    def __init__(self, config: SonarSpeechEncoderConfig, dtype=jnp.float32):
+    def __init__(self, config: SonarSpeechEncoderConfig,
+                 dtype: "jnp.dtype" = jnp.float32):
         self.config = config
         self.dtype = dtype
         self.pooler_frontend = EmbeddingFrontend(
@@ -99,7 +100,8 @@ class SonarSpeechEncoder:
 
     # -- forward ------------------------------------------------------------
 
-    def frontend(self, params: Params, fbank: jnp.ndarray, frame_lens: jnp.ndarray):
+    def frontend(self, params: Params, fbank: jnp.ndarray,
+                 frame_lens: jnp.ndarray) -> tuple:
         """[B, T, 80] fbank -> ([B, T//2, model_dim], out_lens)."""
         cfg = self.config.frontend
         b, t, c = fbank.shape
@@ -116,7 +118,7 @@ class SonarSpeechEncoder:
         params: Params,
         fbank: jnp.ndarray,
         frame_lens: Optional[jnp.ndarray] = None,
-        stack_fn=None,
+        stack_fn: Optional[Callable] = None,
     ) -> SonarEncoderOutput:
         """fbank: [B, T, num_mel] float; frame_lens: [B] valid frame counts.
 

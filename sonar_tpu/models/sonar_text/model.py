@@ -15,7 +15,7 @@ Functional reimplementation of ``SonarTextTransformerEncoderModel``
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +47,8 @@ from sonar_tpu.ops.masks import additive_bias, length_mask
 class SonarTextEncoder:
     """Config-bound functional model: ``init_params`` + pure ``apply``."""
 
-    def __init__(self, config: SonarTextEncoderConfig, dtype=jnp.float32,
+    def __init__(self, config: SonarTextEncoderConfig,
+                 dtype: "jnp.dtype" = jnp.float32,
                  remat: bool = False, scan_unroll: int = 1):
         self.config = config
         self.dtype = dtype
@@ -160,7 +161,7 @@ class SonarTextEncoder:
         seqs: jnp.ndarray,
         seq_lens: Optional[jnp.ndarray] = None,
         dropout_rng: Optional[jax.Array] = None,
-        stack_fn=None,
+        stack_fn: Optional[Callable] = None,
     ) -> SonarEncoderOutput:
         """seqs: [B, S] int32 token ids; seq_lens: [B] or None.
 

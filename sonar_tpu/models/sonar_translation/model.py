@@ -14,7 +14,7 @@ text decoder, exactly like the reference's speech->text stack
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import numpy as np
 
@@ -35,11 +35,11 @@ class SonarEncoderDecoderModel:
     decoder: ``JitTextDecoder``.
     """
 
-    def __init__(self, encoder, decoder):
+    def __init__(self, encoder: Any, decoder: Any):
         self.encoder = encoder
         self.decoder = decoder
 
-    def encode_to_memory(self, encoder_inputs) -> np.ndarray:
+    def encode_to_memory(self, encoder_inputs: Any) -> np.ndarray:
         """-> [B, 1, D] length-1 decoder memory."""
         if isinstance(self.encoder, DummyEncoderModel):
             emb = self.encoder.encode(encoder_inputs)
@@ -51,11 +51,11 @@ class SonarEncoderDecoderModel:
 
     def generate(
         self,
-        encoder_inputs,
+        encoder_inputs: Any,
         prefix_ids: Sequence[int],
-        gen_config,
-        sampler=None,
-    ):
+        gen_config: Any,
+        sampler: Any = None,
+    ) -> Any:
         memory = self.encode_to_memory(encoder_inputs)
         if sampler is not None:
             return self.decoder.generate_sample(
@@ -68,11 +68,15 @@ class SonarEncoderDecoderModel:
         return self.decoder.generate_beam(memory, prefix_ids, gen_config)
 
 
-def create_sonar_text_encoder_decoder_model(encoder, decoder) -> SonarEncoderDecoderModel:
+def create_sonar_text_encoder_decoder_model(
+    encoder: Any, decoder: Any
+) -> SonarEncoderDecoderModel:
     """Reference ``sonar_translation/factory.py:24-48`` equivalent."""
     return SonarEncoderDecoderModel(encoder, decoder)
 
 
-def create_sonar_speech_to_text_model(speech_encoder, text_decoder) -> SonarEncoderDecoderModel:
+def create_sonar_speech_to_text_model(
+    speech_encoder: Any, text_decoder: Any
+) -> SonarEncoderDecoderModel:
     """Reference ``sonar_translation/factory.py:51-73`` equivalent."""
     return SonarEncoderDecoderModel(speech_encoder, text_decoder)

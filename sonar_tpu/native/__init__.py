@@ -14,7 +14,7 @@ import os
 import subprocess
 import threading
 from pathlib import Path
-from typing import Optional
+from typing import Any, Optional
 
 _DIR = Path(__file__).parent
 _LIB_PATH = _DIR / "_sonar_native.so"
@@ -182,7 +182,7 @@ def load_audio_library() -> Optional[ctypes.CDLL]:
         return _audio_lib
 
 
-def decode_audio_bytes(data: bytes):
+def decode_audio_bytes(data: bytes) -> Any:
     """Decode any ffmpeg-supported audio blob -> (float32 [T, C], rate).
 
     Raises ValueError when the native decoder is unavailable or the blob
@@ -217,7 +217,7 @@ def decode_audio_bytes(data: bytes):
 class NativeSpmEncoder:
     """ctypes wrapper over the C++ Viterbi core; one instance per model."""
 
-    def __init__(self, pieces, ids, scores, unk_id: int, unk_score: float,
+    def __init__(self, pieces: Any, ids: Any, scores: Any, unk_id: int, unk_score: float,
                  byte_ids: dict):
         lib = load_library()
         if lib is None:
@@ -236,7 +236,7 @@ class NativeSpmEncoder:
         self._out = (ctypes.c_int32 * self._out_cap)()
         self._normalizer_set = False
 
-    def encode_normalized(self, text: str):
+    def encode_normalized(self, text: str) -> Any:
         data = text.encode("utf-8")
         while True:
             n = self._lib.spm_encode(
@@ -285,7 +285,7 @@ class NativeSpmEncoder:
                 return buf.raw[:n].decode("utf-8", errors="replace")
             cap *= 4
 
-    def encode_batch(self, texts, pre_normalized: bool, num_threads: int):
+    def encode_batch(self, texts: Any, pre_normalized: bool, num_threads: int) -> Any:
         """Tokenize a batch in one GIL-releasing native call.
 
         Returns a list of id lists. ``pre_normalized=False`` runs the
@@ -296,8 +296,8 @@ class NativeSpmEncoder:
         )
 
     def encode_batch_blobs(
-        self, blobs, pre_normalized: bool, num_threads: int
-    ):
+        self, blobs: Any, pre_normalized: bool, num_threads: int
+    ) -> Any:
         """Like ``encode_batch`` but over pre-encoded UTF-8 byte strings
         (lets the caller do its one UTF-8 pass and keep the blobs)."""
         n = len(blobs)

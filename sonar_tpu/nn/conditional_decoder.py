@@ -39,7 +39,7 @@ from sonar_tpu.ops.masks import additive_bias, causal_mask, combine_masks, lengt
 
 
 class ConditionalTransformerDecoder:
-    def __init__(self, config: SonarTextDecoderConfig, dtype=jnp.float32,
+    def __init__(self, config: SonarTextDecoderConfig, dtype: "jnp.dtype" = jnp.float32,
                  remat: bool = False):
         self.config = config
         self.dtype = dtype

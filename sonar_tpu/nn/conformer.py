@@ -21,7 +21,7 @@ with ``feature_group_count=D``.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +56,7 @@ def _rel_inv_freq(dim: int) -> np.ndarray:
     )
 
 
-def rel_pos_table(seq_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+def rel_pos_table(seq_len: int, dim: int, dtype: "jnp.dtype" = jnp.float32) -> jnp.ndarray:
     """[2S-1, D] encodings for distances [S-1 .. -(S-1)] (descending),
     in the fairseq2/ESPnet convention: INTERLEAVED sin (even columns) /
     cos (odd columns) with frequency denominator ln(10000)/dim.
@@ -79,7 +79,7 @@ def rel_pos_table(seq_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(table, dtype)
 
 
-def init_rel_pos_attention(rng: jax.Array, cfg: ConformerConfig, dtype=jnp.float32) -> Params:
+def init_rel_pos_attention(rng: jax.Array, cfg: ConformerConfig, dtype: "jnp.dtype" = jnp.float32) -> Params:
     rngs = jax.random.split(rng, 6)
     d = cfg.model_dim
     return {
@@ -129,7 +129,7 @@ def _use_relpos_kernel(x, bias, s: int, hd: int) -> bool:
     return _ATTENTION_IMPL == "auto" and jax.default_backend() == "tpu"
 
 
-def rel_pos_qkv(params: Params, x: jnp.ndarray, num_heads: int):
+def rel_pos_qkv(params: Params, x: jnp.ndarray, num_heads: int) -> Any:
     """Project [B, S, D] -> per-head q, k, v [B, H, S, hd]."""
     q = _split_heads(linear(params["q_proj"], x), num_heads)
     k = _split_heads(linear(params["k_proj"], x), num_heads)
@@ -191,7 +191,7 @@ def rel_pos_attend_xla(
     return linear(params["output_proj"], _merge_heads(out.astype(q.dtype)))
 
 
-def rel_pos_sin_cos_basis(seq_len: int, dim: int):
+def rel_pos_sin_cos_basis(seq_len: int, dim: int) -> Any:
     """(si, ci, basis): the [S, D/2] sin/cos i-rotations and the [S, D]
     cos|sin j-basis of the trig factorization, as float32 numpy arrays."""
     pos = np.arange(seq_len, dtype=np.float64)
@@ -271,7 +271,7 @@ def rel_pos_attention(
 # Convolution module
 # ---------------------------------------------------------------------------
 
-def init_conv_module(rng: jax.Array, cfg: ConformerConfig, dtype=jnp.float32) -> Params:
+def init_conv_module(rng: jax.Array, cfg: ConformerConfig, dtype: "jnp.dtype" = jnp.float32) -> Params:
     r1, r2, r3 = jax.random.split(rng, 3)
     d, k = cfg.model_dim, cfg.depthwise_kernel_size
     return {
@@ -322,7 +322,7 @@ def conv_module(
 # Conformer block + stack
 # ---------------------------------------------------------------------------
 
-def init_conformer_block(rng: jax.Array, cfg: ConformerConfig, dtype=jnp.float32) -> Params:
+def init_conformer_block(rng: jax.Array, cfg: ConformerConfig, dtype: "jnp.dtype" = jnp.float32) -> Params:
     rngs = jax.random.split(rng, 4)
     d, f = cfg.model_dim, cfg.ffn_inner_dim
 
@@ -367,7 +367,7 @@ def conformer_block(
     return layer_norm(params["layer_norm"], x)
 
 
-def init_conformer_stack(rng: jax.Array, cfg: ConformerConfig, dtype=jnp.float32) -> Params:
+def init_conformer_stack(rng: jax.Array, cfg: ConformerConfig, dtype: "jnp.dtype" = jnp.float32) -> Params:
     return stack_layers(
         [init_conformer_block(r, cfg, dtype) for r in jax.random.split(rng, cfg.num_layers)]
     )

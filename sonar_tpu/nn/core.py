@@ -41,7 +41,7 @@ def init_linear(
     in_dim: int,
     out_dim: int,
     bias: bool = True,
-    dtype=jnp.float32,
+    dtype: "jnp.dtype" = jnp.float32,
 ) -> Params:
     """Kaiming-uniform fan-in init (matches torch/fairseq2 Linear defaults)."""
     k_rng, b_rng = jax.random.split(rng)
@@ -54,7 +54,7 @@ def init_linear(
     return params
 
 
-def init_layer_norm(dim: int, dtype=jnp.float32) -> Params:
+def init_layer_norm(dim: int, dtype: "jnp.dtype" = jnp.float32) -> Params:
     return {"weight": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
 
 
@@ -63,7 +63,7 @@ def init_scaled_embedding(
     num_embeddings: int,
     dim: int,
     pad_idx: Optional[int] = None,
-    dtype=jnp.float32,
+    dtype: "jnp.dtype" = jnp.float32,
 ) -> Params:
     """N(0, d^-0.5) embedding with zeroed pad row.
 
@@ -102,7 +102,7 @@ def layer_norm(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray
     return y.astype(orig_dtype)
 
 
-def embedding_lookup(params: Params, ids: jnp.ndarray, dtype=None) -> jnp.ndarray:
+def embedding_lookup(params: Params, ids: jnp.ndarray, dtype: "jnp.dtype" = None) -> jnp.ndarray:
     weight = params["weight"]
     if dtype is not None:
         weight = weight.astype(dtype)
@@ -129,7 +129,7 @@ ACTIVATIONS = {
 }
 
 
-def get_activation(name: str):
+def get_activation(name: str) -> Any:
     key = name.lower()
     if key not in ACTIVATIONS:
         raise ValueError(f"unsupported activation: {name}")

@@ -93,7 +93,7 @@ def init_bilstm(
     hidden: int,
     num_layers: int,
     bidirectional: bool = True,
-    dtype=jnp.float32,
+    dtype: "jnp.dtype" = jnp.float32,
 ) -> Params:
     import math
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from sonar_tpu.nn.core import Params
 
 
-def sinusoidal_table(max_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
+def sinusoidal_table(max_len: int, dim: int, dtype: "jnp.dtype" = jnp.float32) -> jnp.ndarray:
     """[max_len, dim] fairseq1-style sinusoidal table (half-split sin|cos).
 
     Computed host-side in float64 (it is a build-time constant) so the fp32
@@ -81,7 +81,7 @@ class LearnedPositionEncoder:
         self.dim = dim
         self.max_seq_len = max_seq_len
 
-    def init(self, rng: jax.Array, dtype=jnp.float32) -> Params:
+    def init(self, rng: jax.Array, dtype: "jnp.dtype" = jnp.float32) -> Params:
         return {"weight": jax.random.normal(rng, (self.max_seq_len, self.dim), dtype)}
 
     def __call__(

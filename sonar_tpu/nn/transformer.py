@@ -20,7 +20,7 @@ TPU-first choices:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +52,7 @@ class AttentionSpec:
 # Multi-head attention
 # ---------------------------------------------------------------------------
 
-def init_mha(rng: jax.Array, spec: AttentionSpec, dtype=jnp.float32) -> Params:
+def init_mha(rng: jax.Array, spec: AttentionSpec, dtype: "jnp.dtype" = jnp.float32) -> Params:
     rngs = jax.random.split(rng, 4)
     kv_dim = spec.kv_dim or spec.model_dim
     return {
@@ -73,7 +73,7 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
 
 
-def mha_project_kv(params: Params, kv: jnp.ndarray, num_heads: int):
+def mha_project_kv(params: Params, kv: jnp.ndarray, num_heads: int) -> Any:
     """Project memory once for reuse across decode steps: -> ([B,H,S,Dh], x2)."""
     k = _split_heads(linear(params["k_proj"], kv), num_heads)
     v = _split_heads(linear(params["v_proj"], kv), num_heads)
@@ -184,7 +184,7 @@ def fuse_qkv(layer_params: Params) -> Params:
 # Feed-forward
 # ---------------------------------------------------------------------------
 
-def init_ffn(rng: jax.Array, model_dim: int, inner_dim: int, dtype=jnp.float32) -> Params:
+def init_ffn(rng: jax.Array, model_dim: int, inner_dim: int, dtype: "jnp.dtype" = jnp.float32) -> Params:
     r1, r2 = jax.random.split(rng)
     return {
         "inner_proj": init_linear(r1, model_dim, inner_dim, dtype=dtype),
@@ -246,7 +246,7 @@ def ffn(params: Params, x: jnp.ndarray, activation: str) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def init_encoder_layer(
-    rng: jax.Array, spec: AttentionSpec, ffn_inner_dim: int, dtype=jnp.float32
+    rng: jax.Array, spec: AttentionSpec, ffn_inner_dim: int, dtype: "jnp.dtype" = jnp.float32
 ) -> Params:
     r1, r2 = jax.random.split(rng)
     return {
@@ -403,7 +403,7 @@ def init_decoder_layer(
     self_spec: AttentionSpec,
     cross_spec: AttentionSpec,
     ffn_inner_dim: int,
-    dtype=jnp.float32,
+    dtype: "jnp.dtype" = jnp.float32,
 ) -> Params:
     r1, r2, r3 = jax.random.split(rng, 3)
     return {
@@ -530,7 +530,7 @@ def init_decoder_cache(
     max_len: int,
     batch: int,
     model_dim: int,
-    dtype,
+    dtype: "jnp.dtype",
     beam_size: Optional[int] = None,
 ) -> DecoderCache:
     """Build the cache: preproject cross-attention K/V for every layer.

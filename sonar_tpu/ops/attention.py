@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from contextlib import nullcontext
 from contextvars import ContextVar
-from typing import Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -92,7 +92,7 @@ class no_tpu_kernels:
         return False
 
 
-def kernel_gate_scope(disabled: bool):
+def kernel_gate_scope(disabled: bool) -> Any:
     """``no_tpu_kernels()`` if ``disabled`` else a null context.
 
     For jit boundaries: capture ``tpu_kernels_disabled()`` at call time,
@@ -103,7 +103,7 @@ def kernel_gate_scope(disabled: bool):
     return no_tpu_kernels() if disabled else nullcontext()
 
 
-def kernels_off_for(mesh) -> bool:
+def kernels_off_for(mesh: Optional["jax.sharding.Mesh"]) -> bool:
     """The shared jit-wrapper gate policy: Pallas custom calls cannot be
     partitioned by GSPMD, so mesh-sharded programs always trace with the
     kernel gates off; otherwise an ambient ``no_tpu_kernels()`` scope

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,7 +58,7 @@ class FbankConfig:
         return n
 
 
-def mel_scale(freq):
+def mel_scale(freq: Any) -> Any:
     return 1127.0 * np.log(1.0 + np.asarray(freq) / 700.0)
 
 

@@ -64,7 +64,7 @@ def combine_masks(*masks: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
     return out
 
 
-def additive_bias(mask: Optional[jnp.ndarray], dtype=jnp.float32) -> Optional[jnp.ndarray]:
+def additive_bias(mask: Optional[jnp.ndarray], dtype: "jnp.dtype" = jnp.float32) -> Optional[jnp.ndarray]:
     """Bool mask -> additive attention bias (0 where valid, large-negative else).
 
     Uses the dtype's ``-inf`` replacement ``finfo.min`` to stay NaN-free when a

@@ -22,6 +22,8 @@ Numerics: fp32 scores/softmax/accumulation, same as the XLA path.
 
 from __future__ import annotations
 
+from typing import Any
+
 import functools
 
 import jax
@@ -231,7 +233,7 @@ def beam_reorder_attend(
     valid_bias: jnp.ndarray,  # [S] fp32 additive (0 for s <= idx, -big after)
     write_onehot: jnp.ndarray,  # [S] fp32: 1.0 at the write position
     interpret: bool = False,
-):
+) -> Any:
     """-> (attended [B, K, H, Dh], k_cache' [B,H,K,S,Dh], v_cache')."""
     b, beam, heads, dh = q.shape
     seq = k_cache.shape[-2]

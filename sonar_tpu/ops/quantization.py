@@ -35,7 +35,7 @@ _QUANT_KEYS = (
 )
 
 
-def quantize_kernel(kernel: jnp.ndarray):
+def quantize_kernel(kernel: jnp.ndarray) -> Any:
     """[..., in, out] fp kernel -> (int8 kernel, fp32 scale [..., 1, out])."""
     w = kernel.astype(jnp.float32)
     scale = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0

@@ -15,7 +15,7 @@ Axes:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import numpy as np
@@ -64,7 +64,7 @@ def _spec_for_path(path: str, ndim: int) -> P:
     return P()  # replicate LNs, output_proj bias, small tables
 
 
-def param_shardings(params, mesh: Mesh):
+def param_shardings(params: dict, mesh: Mesh) -> Any:
     """Pytree of NamedSharding matching the TP rules above.
 
     Falls back to replication for any leaf whose sharded dimension is not
@@ -84,7 +84,7 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
-def data_sharding(mesh: Mesh, *batch_axes_specs) -> NamedSharding:
+def data_sharding(mesh: Mesh, *batch_axes_specs: Any) -> NamedSharding:
     if batch_axes_specs:
         return NamedSharding(mesh, P(*batch_axes_specs))
     return NamedSharding(mesh, P("data"))
@@ -108,7 +108,7 @@ def _identity_put(tree, shardings):
     return _identity_jit(tuple(flat), treedef)(tree)
 
 
-def shard_params(params, mesh: Mesh):
+def shard_params(params: dict, mesh: Mesh) -> Any:
     """Place a host pytree onto the mesh according to the TP rules.
 
     Staged as ONE jitted identity program with per-leaf out_shardings:
@@ -117,7 +117,7 @@ def shard_params(params, mesh: Mesh):
     return _identity_put(params, param_shardings(params, mesh))
 
 
-def replicate(tree, mesh: Mesh):
+def replicate(tree: Any, mesh: Mesh) -> Any:
     # One memoized jitted identity program for the whole tree (device_put
     # with a sharding compiles a tiny resharding program per leaf shape).
     sharding = NamedSharding(mesh, P())

@@ -16,7 +16,7 @@ external tooling. SONAR-TPU implements it natively, TPU-first:
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,7 @@ def cosine_topk(
     bank: jnp.ndarray,
     k: int,
     block_size: int = 8192,
-    dot_dtype=None,
+    dot_dtype: Any = None,
     approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Single-device top-k cosine: -> (scores [N,k], indices [N,k]).
@@ -168,7 +168,7 @@ def sharded_cosine_topk(
     k: int,
     mesh: Mesh,
     axis: str = "data",
-    dot_dtype=None,
+    dot_dtype: Any = None,
     approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bank sharded over ``axis``; queries replicated. Exact global top-k
@@ -265,7 +265,7 @@ def sharded_xsim(
     k: int = 4,
     margin: str = "ratio",
     axis: str = "data",
-    dot_dtype=None,
+    dot_dtype: Any = None,
     approx: bool = False,
 ) -> float:
     """Mesh-scaled xsim: margin scoring from sharded top-k lists only.
@@ -364,7 +364,7 @@ def mine_bitexts(
     mesh: Optional[Mesh] = None,
     axis: str = "data",
     approx: bool = False,
-    dot_dtype=None,
+    dot_dtype: Any = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """LASER-style margin-based bitext mining over the SONAR space.
 
@@ -457,7 +457,7 @@ def sharded_xsim_pp(
     k: int = 4,
     margin: str = "ratio",
     axis: str = "data",
-    dot_dtype=None,
+    dot_dtype: Any = None,
     approx: bool = False,
 ) -> float:
     """Mesh-scaled xsim++: the xsim protocol with distractor targets

@@ -12,7 +12,7 @@ The JAX-native equivalents:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, TypeVar
+from typing import Any, Optional, Sequence, TypeVar
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -55,7 +55,7 @@ def _multiprocess_cluster_env() -> bool:
     return len([h for h in hosts.split(",") if h.strip()]) > 1
 
 
-def initialize(coordinator_address: Optional[str] = None, **kwargs) -> None:
+def initialize(coordinator_address: Optional[str] = None, **kwargs: Any) -> None:
     """Distributed init. MUST run before any backend-touching JAX call —
     probing ``jax.process_count()`` here would itself initialize the
     backend and make ``jax.distributed.initialize`` impossible (caught by
@@ -83,7 +83,7 @@ def host_batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
-def global_batch_from_local(mesh: Mesh, local_batch, axis: str = "data"):
+def global_batch_from_local(mesh: Mesh, local_batch: Any, axis: str = "data") -> Any:
     """Assemble a globally-sharded array from per-host local batches."""
     sharding = host_batch_sharding(mesh, axis)
     return jax.make_array_from_process_local_data(sharding, local_batch)

@@ -32,7 +32,7 @@ could reduce-scatter instead; for SONAR-sized activations the psum is noise.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +56,7 @@ def make_pipeline_mesh(
     return Mesh(arr, ("data", "stage"))
 
 
-def pipeline_param_shardings(params, mesh: Mesh):
+def pipeline_param_shardings(params: Any, mesh: Mesh) -> Any:
     """Stacked encoder layers split over 'stage' on axis 0; rest replicated."""
 
     def spec_for(path: str, leaf) -> P:
@@ -227,7 +227,7 @@ def pipeline_encoder_stack(
     norm_order: str = "pre",
     num_microbatches: Optional[int] = None,
     remat: bool = False,
-):
+) -> jnp.ndarray:
     """Drop-in for ``encoder_stack`` that pipelines the L layers over the
     mesh's 'stage' axis (GPipe schedule, microbatched over the batch dim).
     ``remat=True`` rematerializes each stage's layer bodies on the backward
@@ -267,11 +267,11 @@ def pipeline_conformer_stack(
     x: jnp.ndarray,
     attn_bias: Optional[jnp.ndarray],
     pad_mask: Optional[jnp.ndarray],
-    cfg,
+    cfg: Any,
     mesh: Mesh,
     num_microbatches: Optional[int] = None,
     remat: bool = False,
-):
+) -> jnp.ndarray:
     """Drop-in for ``nn.conformer.conformer_stack`` that pipelines the
     Conformer blocks over the mesh's 'stage' axis (same GPipe schedule as
     the text stack; the bias/pad-mask ride along per microbatch)."""
@@ -302,14 +302,14 @@ def pipeline_conformer_stack(
 
 
 def pipeline_text_encode(
-    model,
+    model: Any,
     params: Params,
-    seqs,
-    seq_lens=None,
+    seqs: jnp.ndarray,
+    seq_lens: Optional[jnp.ndarray] = None,
     *,
     mesh: Mesh,
     num_microbatches: Optional[int] = None,
-):
+) -> jnp.ndarray:
     """Full SonarTextEncoder forward with the layer stack pipelined over the
     mesh's 'stage' axis; frontend, final LayerNorms and pooling stay
     data-parallel (they are <1% of the FLOPs). Returns sentence embeddings.
@@ -348,14 +348,14 @@ def _pp_text_program(model, mesh: Mesh, num_microbatches: Optional[int]):
 
 
 def pipeline_speech_encode(
-    model,
+    model: Any,
     params: Params,
-    fbank,
-    frame_lens=None,
+    fbank: jnp.ndarray,
+    frame_lens: Optional[jnp.ndarray] = None,
     *,
     mesh: Mesh,
     num_microbatches: Optional[int] = None,
-):
+) -> Any:
     """Full SonarSpeechEncoder forward with the Conformer stack pipelined
     over the mesh's 'stage' axis; frontend, workaround LayerNorm and the
     attention pooler stay data-parallel. Returns the SonarEncoderOutput.

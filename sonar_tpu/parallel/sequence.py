@@ -34,7 +34,7 @@ orders), so results match `conformer_stack` to float-associativity noise.
 from __future__ import annotations
 
 from functools import lru_cache, partial
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -177,7 +177,7 @@ def sequence_conformer_stack(
     pad_mask: Optional[jnp.ndarray],
     cfg: ConformerConfig,
     mesh: Mesh,
-):
+) -> Any:
     """Drop-in for ``conformer_stack`` that shards the time axis S over the
     mesh's 'seq' axis. S must be divisible by the 'seq' axis size; the batch
     must be divisible by the 'data' axis size. ``attn_bias`` must be a
@@ -234,13 +234,13 @@ def _sp_stack_program(mesh: Mesh, cfg: ConformerConfig, n_seq: int,
 
 
 def sequence_speech_encode(
-    model,
+    model: Any,
     params: Params,
-    fbank,
-    frame_lens=None,
+    fbank: Any,
+    frame_lens: Any = None,
     *,
     mesh: Mesh,
-):
+) -> Any:
     """Full SonarSpeechEncoder forward with the Conformer stack
     sequence-sharded over the mesh's 'seq' axis; the fbank frontend and the
     attention pooler stay data-parallel (they are <2% of the FLOPs).

@@ -34,7 +34,7 @@ from collections import deque
 from concurrent.futures import Future
 from concurrent.futures import TimeoutError as FutureTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -131,7 +131,7 @@ class MicroBatcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, items: Sequence, key=None) -> Future:
+    def submit(self, items: Sequence, key: Any = None) -> Future:
         fut: Future = Future()
         self._q.put((list(items), key, fut))
         if self._stop.is_set():
@@ -245,14 +245,14 @@ class EmbeddingServer:
 
     def __init__(
         self,
-        pipeline,
+        pipeline: Any,
         host: str = "127.0.0.1",
         port: int = 0,
         max_sentences: int = 256,
         max_wait_ms: float = 5.0,
         request_timeout_s: float = 120.0,
-        translator=None,
-        speech_pipeline=None,
+        translator: Any = None,
+        speech_pipeline: Any = None,
         warmup: bool = False,
     ):
         if warmup:
@@ -315,6 +315,8 @@ class EmbeddingServer:
 
             def _reply(self, code: int, payload: dict) -> None:
                 self._last_code = code
+                if getattr(self, "_t0", None) is not None:  # POST in flight
+                    self._observe(code)
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
@@ -374,21 +376,29 @@ class EmbeddingServer:
                     raise ValueError(f"'{field}' must be a string")
                 return lang
 
+            def _observe(self, code: int) -> None:
+                # Must run BEFORE the response bytes go out: a client that
+                # reads /metrics right after its reply must see this
+                # request already counted (a post-reply finally races it).
+                if self._ep is not None and not self._observed:
+                    self._observed = True
+                    server.metrics[self._ep].observe_request(
+                        self._n_items,
+                        time.monotonic() - self._t0,
+                        ok=(code == 200),
+                        timeout=(code == 504),
+                    )
+
             def do_POST(self):
                 self._t0 = time.monotonic()
                 self._ep: Optional[str] = None
                 self._n_items = 0
+                self._observed = False
                 try:
                     self._do_POST_inner()
                 finally:
-                    if self._ep is not None:
-                        code = getattr(self, "_last_code", 500)
-                        server.metrics[self._ep].observe_request(
-                            self._n_items,
-                            time.monotonic() - self._t0,
-                            ok=(code == 200),
-                            timeout=(code == 504),
-                        )
+                    # fallback for a handler crash that never replied
+                    self._observe(getattr(self, "_last_code", 500))
 
             def _do_POST_inner(self):
                 try:

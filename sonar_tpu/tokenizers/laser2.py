@@ -11,7 +11,7 @@ fairseq dictionary specials the LASER2 LSTM was trained with
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Union
+from typing import Any, List, Union
 
 from sonar_tpu.models.common import VocabularyInfo
 from sonar_tpu.tokenizers.spm import (
@@ -44,7 +44,7 @@ class Laser2Tokenizer:
             pad_idx=m.pad_idx if m.pad_idx is not None else m.unk_idx,
         )
 
-    def create_encoder(self, **_ignored) -> Laser2Encoder:
+    def create_encoder(self, **_ignored: Any) -> Laser2Encoder:
         return Laser2Encoder(
             SentencePieceEncoder(self.model, suffix_tokens=["</s>"])
         )

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import unicodedata
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 from sonar_tpu.tokenizers.charsmap import utf8_bytes
 from sonar_tpu.tokenizers.spm_proto import (
@@ -488,7 +488,7 @@ class SentencePieceDecoder:
         return self.model.decode(ids)
 
 
-def vocab_info_from_sentencepiece(model: SentencePieceModel):
+def vocab_info_from_sentencepiece(model: SentencePieceModel) -> Any:
     from sonar_tpu.models.common import VocabularyInfo
 
     return VocabularyInfo(

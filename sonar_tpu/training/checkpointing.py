@@ -8,11 +8,13 @@ round-trip with their shardings).
 
 from __future__ import annotations
 
+from typing import Union
+
 from pathlib import Path
 from sonar_tpu.training.train_step import TrainState
 
 
-def save_train_state(path, state: TrainState) -> None:
+def save_train_state(path: "Union[str, Path]", state: TrainState) -> None:
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
@@ -22,7 +24,7 @@ def save_train_state(path, state: TrainState) -> None:
                           "step": state.step})
 
 
-def restore_train_state(path, template: TrainState) -> TrainState:
+def restore_train_state(path: "Union[str, Path]", template: TrainState) -> TrainState:
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()

@@ -52,10 +52,10 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray) -
 
 
 def translation_loss(
-    encoder,           # SonarTextEncoder (module)
-    decoder,           # ConditionalTransformerDecoder (module)
-    enc_params,
-    dec_params,
+    encoder: Any,           # SonarTextEncoder (module)
+    decoder: Any,           # ConditionalTransformerDecoder (module)
+    enc_params: Any,
+    dec_params: Any,
     batch: Dict[str, jnp.ndarray],
     dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
@@ -81,8 +81,8 @@ def translation_loss(
 
 
 def distillation_loss(
-    student_encoder,   # any SONAR encoder module (speech or text)
-    params,
+    student_encoder: Any,   # any SONAR encoder module (speech or text)
+    params: dict,
     batch: Dict[str, jnp.ndarray],
     dropout_rng: Optional[jax.Array] = None,
     *,
@@ -116,8 +116,8 @@ def distillation_loss(
 
 
 def classifier_loss(
-    encoder,           # embedding model (e.g. SonarTextEncoder)
-    head,              # classifier head (e.g. MutoxClassifier / BLASER MLP)
+    encoder: Any,           # embedding model (e.g. SonarTextEncoder)
+    head: Any,              # classifier head (e.g. MutoxClassifier / BLASER MLP)
     params: Dict[str, Any],
     batch: Dict[str, jnp.ndarray],
     dropout_rng: Optional[jax.Array] = None,
@@ -173,5 +173,5 @@ def make_train_step(
     return step
 
 
-def init_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> TrainState:
     return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))

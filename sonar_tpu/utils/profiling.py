@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Iterator
+from typing import Any, Iterator
 
 import jax
 import numpy as np
@@ -27,7 +27,7 @@ def trace(log_dir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
-def annotate(name: str):
+def annotate(name: str) -> Any:
     """Named region on the device timeline (jax.profiler.TraceAnnotation)."""
     return jax.profiler.TraceAnnotation(name)
 
@@ -38,7 +38,7 @@ class Timer:
     def __init__(self):
         self.samples: list = []
 
-    def measure(self, fn, *args, iters: int = 5) -> float:
+    def measure(self, fn: Any, *args: Any, iters: int = 5) -> float:
         np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # warmup
         for _ in range(iters):
             t0 = time.perf_counter()

@@ -161,6 +161,49 @@ def test_lambda_and_decorator_scopes():
     ) == set()
 
 
+# -- annotation coverage (the py.typed promise, ANN001/ANN201) --------------
+
+def ann_codes(src: str):
+    return {code for _, code, _ in lint.check_annotations(ast.parse(src))}
+
+
+def test_ann_public_function_gaps():
+    assert ann_codes("def f(x):\n    return x\n") == {"ANN001", "ANN201"}
+    assert ann_codes("def f(x: int) -> int:\n    return x\n") == set()
+
+
+def test_ann_scope_rules():
+    # private functions, nested defs, and private classes are exempt;
+    # __init__ needs params but no return; self/cls never need annotations
+    src = (
+        "def _private(x):\n    return x\n"
+        "def outer() -> None:\n"
+        "    def inner(y):\n        return y\n"
+        "class _Private:\n"
+        "    def method(self, z):\n        return z\n"
+        "class Public:\n"
+        "    def __init__(self, a: int):\n        self.a = a\n"
+        "    def ok(self) -> int:\n        return self.a\n"
+        "    @classmethod\n"
+        "    def make(cls, b: int) -> 'Public':\n        return cls(b)\n"
+    )
+    assert ann_codes(src) == set()
+
+
+def test_ann_kwargs_and_vararg_need_annotations():
+    assert ann_codes("def f(*args, **kw) -> None:\n    pass\n") == {"ANN001"}
+    assert ann_codes(
+        "def f(*args: int, **kw: str) -> None:\n    pass\n"
+    ) == set()
+
+
+def test_ann_only_applies_under_sonar_tpu(tmp_path):
+    # scripts/tests are out of scope for the coverage gate
+    p = tmp_path / "free.py"
+    p.write_text("def f(x):\n    return x\n")
+    assert lint.check_file(p) == []
+
+
 # -- the repo itself is clean (the actual gate) -----------------------------
 
 def test_repo_is_clean():
