@@ -31,7 +31,8 @@ def main():
 
     server = EmbeddingServer(pipe, max_wait_ms=5).start()
     host, port = server.address
-    print(f"serving on http://{host}:{port}  (POST /embed, GET /healthz)")
+    print(f"serving on http://{host}:{port}  "
+          f"(POST /embed, GET /healthz, GET /metrics)")
     try:
         req = urllib.request.Request(
             f"http://{host}:{port}/embed",
@@ -41,6 +42,13 @@ def main():
         with urllib.request.urlopen(req, timeout=120) as r:
             out = json.loads(r.read())
         print(f"embedded {len(out['embeddings'])} sentences, dim {out['dim']}")
+        with urllib.request.urlopen(
+            f"http://{host}:{port}/metrics", timeout=10
+        ) as r:
+            m = json.loads(r.read())["embed"]
+        print(f"metrics: {m['requests']} requests, {m['batches']} batches, "
+              f"p50 {m['latency_p50_ms']} ms, "
+              f"padding waste {m['encoder']['padding_waste']:.1%}")
     finally:
         server.stop()
 
