@@ -310,7 +310,19 @@ def beam_search_lax(
             (step + 1 < config.min_gen_len) & (tok_sel == eos_idx),
             NEG_INF, lp_sel,
         )
-        if unk_idx is not None and config.unk_penalty:
+        # Runs for a TRACED penalty or a concrete nonzero one; skipped only
+        # for a concrete zero (a traced scalar has no truth value, and
+        # ``JitTextDecoder`` passes unk_penalty traced so one program serves
+        # every nonzero penalty — it statically drops unk_idx when the
+        # penalty is zero, keeping the default program lean: the extra
+        # consumer of the [N, V] logits measured ~2 ms/step on chip). At a
+        # traced penalty of 0 the extra exact-unk column is either NEG_INF
+        # (unk already shortlisted) or a candidate the flat top-2K would
+        # rank identically, so semantics never depend on the value.
+        if unk_idx is not None and (
+            not isinstance(config.unk_penalty, (int, float))
+            or config.unk_penalty
+        ):
             lp_sel = lp_sel - config.unk_penalty * (tok_sel == unk_idx)
             unk_lp = (
                 logits.reshape(B, K, vocab_size)[:, :, unk_idx]

@@ -110,22 +110,53 @@ class JitTextDecoder:
 
     # -- beam search -----------------------------------------------------------
 
+    @staticmethod
+    def _beam_static_key(config: BeamSearchConfig) -> BeamSearchConfig:
+        """The compiled beam program depends only on these config fields;
+        ``len_penalty`` / ``unk_penalty`` / ``min_gen_len`` are passed as
+        TRACED scalars, so one program per static key serves every penalty
+        setting (production penalty changes cost zero recompiles, and the
+        suite's penalty-matrix tests share one compile)."""
+        import dataclasses
+
+        # normalize_scores=False is exactly len_penalty=0 (scores / len^0),
+        # so it folds into the dynamic penalty instead of forking the
+        # program on a static bool. unk_penalty keeps its NONZERO-ness as a
+        # static marker: the zero-penalty program omits the unk shortlist
+        # column entirely (an extra consumer of the [N, V] logits cost a
+        # measured ~2 ms/step on chip), so the production default keeps the
+        # lean program while all nonzero penalties share one.
+        return dataclasses.replace(
+            config, len_penalty=1.0,
+            unk_penalty=0.0 if config.unk_penalty == 0 else 1.0,
+            min_gen_len=1, normalize_scores=True,
+        )
+
     def _build_beam_fn(self, config: BeamSearchConfig, prefix_len: int):
+        import dataclasses
+
         config = self._cap_gen_len(config, prefix_len)
         model = self.model
         vocab = model.config.vocab_info.size
         eos = model.config.vocab_info.eos_idx
         pad = model.config.vocab_info.pad_idx or 0
-        unk = model.config.vocab_info.unk_idx
+        # Static gate matching _beam_static_key: only nonzero-unk-penalty
+        # programs carry the unk shortlist machinery.
+        unk = model.config.vocab_info.unk_idx if config.unk_penalty else None
         K = config.beam_size
 
-        def fn(params, memory, prefix, kernels_off):
+        def fn(params, memory, prefix, len_penalty, unk_penalty, min_gen_len,
+               kernels_off):
             from sonar_tpu.ops.attention import kernel_gate_scope
 
+            cfg = dataclasses.replace(
+                config, len_penalty=len_penalty, unk_penalty=unk_penalty,
+                min_gen_len=min_gen_len, normalize_scores=True,
+            )
             with kernel_gate_scope(kernels_off):
-                return _search(params, memory, prefix)
+                return _search(params, memory, prefix, cfg)
 
-        def _search(params, memory, prefix):
+        def _search(params, memory, prefix, config):
             B = memory.shape[0]
             mem_rep = jnp.repeat(memory, K, axis=0)  # [B*K, 1, D]
             cache_len = prefix_len + config.max_gen_len + 1
@@ -206,11 +237,17 @@ class JitTextDecoder:
 
             mem_j = jax.device_put(mem_j, data_sharding(self.mesh, "data", None, None))
             prefix_j = jax.device_put(prefix_j, data_sharding(self.mesh, "data", None))
-        key = (config, len(prefix_ids))
+        config = self._cap_gen_len(config, len(prefix_ids))
+        key = (self._beam_static_key(config), len(prefix_ids))
         if key not in self._beam_jit:
             self._beam_jit[key] = self._build_beam_fn(config, len(prefix_ids))
+        lp = config.len_penalty if config.normalize_scores else 0.0
         tokens, scores, lens = self._beam_jit[key](
-            self.params, mem_j, prefix_j, kernels_off=self._kernels_off()
+            self.params, mem_j, prefix_j,
+            jnp.asarray(lp, jnp.float32),
+            jnp.asarray(config.unk_penalty, jnp.float32),
+            jnp.asarray(config.min_gen_len, jnp.int32),
+            kernels_off=self._kernels_off(),
         )
         # Start all three D2H copies before materializing any (each blocking
         # np.asarray otherwise pays the transport fixed cost serially).

@@ -39,7 +39,12 @@ def _cpu_cache_dir() -> str:
     return os.path.expanduser(f"~/.cache/sonar_tpu_xla_tests-{key}")
 
 
-jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
+jax.config.update(
+    "jax_compilation_cache_dir",
+    # Override for reproducible COLD runs (point at an empty dir) without
+    # clobbering the developer's warm cache.
+    os.environ.get("SONAR_TPU_TEST_CACHE_DIR") or _cpu_cache_dir(),
+)
 # Persist EVERY program (threshold 0): the suite compiles ~190 sub-0.5s
 # programs in test_self_goldens alone (~70 ms each); with the default 0.5s
 # floor those recompile on every run, warm or cold.
@@ -62,6 +67,46 @@ if os.environ.get("SONAR_TPU_TEST_GC", "0") != "1":
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# --- compile spy (SONAR_TPU_COMPILE_SPY=1) ----------------------------------
+# Per-test XLA program count + compile wall time, written as JSON lines to
+# SONAR_TPU_COMPILE_SPY_OUT (default /tmp/compile_spy.jsonl). The suite is
+# compile-bound; program COUNT per test file is the cold-start metric (see
+# CLAUDE.md "Suite compile economics").
+if os.environ.get("SONAR_TPU_COMPILE_SPY", "0") == "1":
+    import json
+    import time
+
+    import jax._src.compiler as _spy_compiler
+
+    _SPY = {"n": 0, "t": 0.0}
+    _spy_real = _spy_compiler.compile_or_get_cached
+
+    def _spy_wrap(*a, **k):
+        t0 = time.perf_counter()
+        out = _spy_real(*a, **k)
+        _SPY["n"] += 1
+        _SPY["t"] += time.perf_counter() - t0
+        return out
+
+    _spy_compiler.compile_or_get_cached = _spy_wrap
+    _SPY_OUT = os.environ.get(
+        "SONAR_TPU_COMPILE_SPY_OUT", "/tmp/compile_spy.jsonl"
+    )
+
+    @pytest.fixture(autouse=True)
+    def _compile_spy(request):
+        n0, t0, w0 = _SPY["n"], _SPY["t"], time.perf_counter()
+        yield
+        rec = {
+            "test": request.node.nodeid,
+            "programs": _SPY["n"] - n0,
+            "compile_s": round(_SPY["t"] - t0, 3),
+            "wall_s": round(time.perf_counter() - w0, 3),
+        }
+        with open(_SPY_OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
 
 # Original shipping bucket set, captured before the autouse coarsening so

@@ -24,6 +24,10 @@ from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
 VOCAB = 64
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _tiny_decoder():
     cfg = dataclasses.replace(
         sonar_text_decoder_archs.get("toy"),
@@ -36,18 +40,31 @@ def _tiny_decoder():
     return dec, params
 
 
+_ORACLE_FWD = {}
+
+
 def _oracle_logprob_fn(dec, params, memory_row, max_rows=8, max_len=16):
     """Teacher-forced next-token logprobs with ONE compiled program: inputs
-    are padded to a fixed [max_rows, max_len] shape (distinct eager shapes
-    per beam/step otherwise dominate test wall time)."""
+    are padded to a fixed [max_rows, max_len] shape, and memory/params are
+    ARGUMENTS of a module-cached jit — every test in this file shares the
+    same compiled oracle program instead of re-jitting per closure."""
 
-    @jax.jit
+    key = (id(dec), max_rows, max_len)
+    if key not in _ORACLE_FWD:
+        @jax.jit
+        def fwd(params, memory_row, seqs, lens):
+            mem = jnp.tile(memory_row, (max_rows, 1, 1))
+            logits = dec.forward(params, seqs, lens, mem)
+            pos = jnp.clip(lens - 1, 0, max_len - 1)
+            last = jnp.take_along_axis(logits, pos[:, None, None], axis=1)[:, 0]
+            return jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+
+        _ORACLE_FWD[key] = fwd
+    fwd_j = _ORACLE_FWD[key]
+    mem_j = jnp.asarray(memory_row)
+
     def fwd(seqs, lens):
-        mem = jnp.tile(memory_row, (max_rows, 1, 1))
-        logits = dec.forward(params, seqs, lens, mem)
-        pos = jnp.clip(lens - 1, 0, max_len - 1)
-        last = jnp.take_along_axis(logits, pos[:, None, None], axis=1)[:, 0]
-        return jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+        return fwd_j(params, mem_j, seqs, lens)
 
     def fn(seqs):
         n = len(seqs)
@@ -86,7 +103,7 @@ def test_beam_search_batched_consistency():
     """Each batch row must decode as if alone."""
     dec, params = _tiny_decoder()
     eos = dec.config.vocab_info.eos_idx
-    config = BeamSearchConfig(beam_size=2, max_gen_len=6)
+    config = BeamSearchConfig(beam_size=3, max_gen_len=8)
     runtime = JitTextDecoder(dec, params)
 
     mem = np.asarray(
@@ -141,7 +158,7 @@ def test_beam_config_variants_match_oracle(kwargs):
     eos = dec.config.vocab_info.eos_idx
     prefix = [eos, 5]
     config = BeamSearchConfig(beam_size=kwargs.pop("beam_size", 3),
-                              max_gen_len=kwargs.pop("max_gen_len", 7), **kwargs)
+                              max_gen_len=kwargs.pop("max_gen_len", 8), **kwargs)
     memory = jax.random.normal(jax.random.PRNGKey(21), (1, 1, dec.config.model_dim))
     want_tokens, want_score = beam_search_oracle(
         _oracle_logprob_fn(dec, params, memory), prefix, eos, config
@@ -159,8 +176,8 @@ def test_approx_topk_matches_exact_on_toy():
     eos = dec.config.vocab_info.eos_idx
     runtime = JitTextDecoder(dec, params)
     mem = np.asarray(jax.random.normal(jax.random.PRNGKey(13), (2, 1, dec.config.model_dim)))
-    exact = BeamSearchConfig(beam_size=3, max_gen_len=6)
-    approx = BeamSearchConfig(beam_size=3, max_gen_len=6, approx_topk=True)
+    exact = BeamSearchConfig(beam_size=3, max_gen_len=8)
+    approx = BeamSearchConfig(beam_size=3, max_gen_len=8, approx_topk=True)
     t1, s1, l1 = runtime.generate_beam(mem, [eos, 5], exact)
     t2, s2, l2 = runtime.generate_beam(mem, [eos, 5], approx)
     for i in range(2):
@@ -173,7 +190,7 @@ def test_min_gen_len_bans_early_eos():
     eos = dec.config.vocab_info.eos_idx
     runtime = JitTextDecoder(dec, params)
     mem = np.asarray(jax.random.normal(jax.random.PRNGKey(9), (1, 1, dec.config.model_dim)))
-    config = BeamSearchConfig(beam_size=2, max_gen_len=6, min_gen_len=3)
+    config = BeamSearchConfig(beam_size=3, max_gen_len=8, min_gen_len=3)
     tokens, _, lens = runtime.generate_beam(mem, [eos, 5], config)
     assert int(lens[0, 0]) >= 3
 
@@ -288,10 +305,10 @@ def test_beam_all_tied_logits_scores_analytic():
     runtime = JitTextDecoder(dec, params0)
     mem = np.zeros((1, 1, dec.config.model_dim), np.float32)
     for penalty in (0.5, 1.0, 2.0):
-        config = BeamSearchConfig(beam_size=2, max_gen_len=6, len_penalty=penalty)
+        config = BeamSearchConfig(beam_size=3, max_gen_len=8, len_penalty=penalty)
         tokens, scores, lens = runtime.generate_beam(mem, [eos, 5], config)
         L = int(lens[0, 0])
-        assert 1 <= L <= 7  # up to max_gen_len + forced EOS
+        assert 1 <= L <= 9  # up to max_gen_len + forced EOS
         want = (L ** (1.0 - penalty)) * (-np.log(VOCAB))
         np.testing.assert_allclose(float(scores[0, 0]), want, rtol=1e-5)
 
@@ -372,7 +389,7 @@ def test_beam_batch_independence_stress():
     not change another row's result)."""
     dec, params = _tiny_decoder()
     eos = dec.config.vocab_info.eos_idx
-    config = BeamSearchConfig(beam_size=2, max_gen_len=6)
+    config = BeamSearchConfig(beam_size=3, max_gen_len=8)
     w = params["decoder_frontend"]["embed"]["weight"]
     direction = jax.random.normal(jax.random.PRNGKey(99), (w.shape[1],))
     for trial in range(4):
