@@ -70,8 +70,10 @@ class JitTextDecoder:
 
         def _score(p, seqs, lens, mem, kernels_off):
             from sonar_tpu.ops.attention import kernel_gate_scope
+            from sonar_tpu.ops.precision import matmul_precision_for
 
-            with kernel_gate_scope(kernels_off):
+            with kernel_gate_scope(kernels_off), \
+                    matmul_precision_for(model.dtype):
                 return model.forward(p, seqs, lens, mem)
 
         self._score_fn = jax.jit(_score, static_argnames=("kernels_off",))
@@ -148,12 +150,16 @@ class JitTextDecoder:
         def fn(params, memory, prefix, len_penalty, unk_penalty, min_gen_len,
                kernels_off):
             from sonar_tpu.ops.attention import kernel_gate_scope
+            from sonar_tpu.ops.precision import matmul_precision_for
 
             cfg = dataclasses.replace(
                 config, len_penalty=len_penalty, unk_penalty=unk_penalty,
                 min_gen_len=min_gen_len, normalize_scores=True,
             )
-            with kernel_gate_scope(kernels_off):
+            # Precision policy INSIDE the traced fn: warmup, pipelines and
+            # direct calls all get the same program (ops/precision.py).
+            with kernel_gate_scope(kernels_off), \
+                    matmul_precision_for(model.dtype):
                 return _search(params, memory, prefix, cfg)
 
         def _search(params, memory, prefix, config):
@@ -301,8 +307,10 @@ class JitTextDecoder:
 
         def fn(params, memory, prefix, rng, kernels_off):
             from sonar_tpu.ops.attention import kernel_gate_scope
+            from sonar_tpu.ops.precision import matmul_precision_for
 
-            with kernel_gate_scope(kernels_off):
+            with kernel_gate_scope(kernels_off), \
+                    matmul_precision_for(model.dtype):
                 return _sample(params, memory, prefix, rng)
 
         def _sample(params, memory, prefix, rng):

@@ -100,8 +100,13 @@ class JitSpeechEncoder:
             # call time so the trace cache keys on ``no_tpu_kernels()``
             # scopes too (single-device serving keeps the fused kernels).
             from sonar_tpu.ops.attention import kernel_gate_scope
+            from sonar_tpu.ops.precision import matmul_precision_for
 
-            with kernel_gate_scope(kernels_off):
+            # Same trace-time precision policy as the text runtimes
+            # (ops/precision.py): fp32 models get true-fp32 matmuls in
+            # EVERY entry path (pipeline, warmup, direct encode).
+            with kernel_gate_scope(kernels_off), \
+                    matmul_precision_for(model.dtype):
                 out = model.apply(params, feats, frame_lens)
             return out.sentence_embeddings
 

@@ -134,8 +134,12 @@ class JitTextEncoder:
             # encoder used both inside and outside a ``no_tpu_kernels()``
             # scope gets the right lowering each time.
             from sonar_tpu.ops.attention import kernel_gate_scope
+            from sonar_tpu.ops.precision import matmul_precision_for
 
-            with kernel_gate_scope(kernels_off):
+            # Precision policy INSIDE the traced fn: warmup, pipelines and
+            # direct calls all get the same program (ops/precision.py).
+            with kernel_gate_scope(kernels_off), \
+                    matmul_precision_for(model.dtype):
                 return model.apply(p, seqs, lens).sentence_embeddings
 
         self._fn = jax.jit(_apply, static_argnames=("kernels_off",))

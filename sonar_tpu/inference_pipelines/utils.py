@@ -10,7 +10,6 @@ import contextlib
 import math
 from typing import Iterable, Iterator, Optional, Sized
 
-import jax
 import jax.numpy as jnp
 
 
@@ -20,11 +19,15 @@ def precision_context(dtype: "jnp.dtype") -> Iterator[None]:
 
     fp32 models get 'highest' (true fp32 MXU passes) for numerical parity;
     bf16/fp16 run at the fast default.
+
+    The authoritative policy now lives INSIDE the runtime-traced functions
+    (``sonar_tpu.ops.precision.matmul_precision_for``) so warmup / direct
+    runtime calls / pipelines all produce the same program; this pipeline-
+    level wrapper remains for any eager matmul outside the runtimes.
     """
-    if dtype in (jnp.float32, jnp.float64):
-        with jax.default_matmul_precision("highest"):
-            yield
-    else:
+    from sonar_tpu.ops.precision import matmul_precision_for
+
+    with matmul_precision_for(dtype):
         yield
 
 

@@ -216,7 +216,9 @@ def test_encode_batches_iter_matches_list(toy_bundle):
     rng = np.random.default_rng(3)
     batches = []
 
-    for shape, count in (((2, 6), 5), ((3, 4), 3), ((2, 8), 1)):
+    # Shape pool shared with the other executor tests in this file (each
+    # distinct (bsz, slen) costs one encoder compile on a cold cache).
+    for shape, count in (((4, 6), 5), ((8, 3), 3), ((2, 6), 1)):
         for _ in range(count):
             seqs = rng.integers(4, 20, size=shape).astype(np.int32)
             lens = np.full((shape[0],), shape[1], np.int32)
@@ -260,7 +262,9 @@ def test_decoder_warmup(toy_bundle):
 
     _, _, (decoder, dec_params) = toy_bundle
     runtime = JitTextDecoder(decoder, dec_params)
-    cfg = BeamSearchConfig(beam_size=2, max_gen_len=4)
+    # Same config the file's predict() tests reach via max_seq_len=8: the
+    # B=2 program is then a compile-cache hit, not a fresh ~1s compile.
+    cfg = BeamSearchConfig.from_kwargs(decoder.max_target_len, max_seq_len=8)
     assert runtime.warmup(cfg, prefix_len=2, batch_sizes=(2, 4)) == 2
     # warmed program serves a real call at the same (config, prefix, batch)
     mem = np.random.default_rng(0).normal(size=(2, 1, decoder.config.model_dim))
@@ -280,7 +284,9 @@ def test_encode_batches_iter_randomized_streams(toy_bundle):
 
     _, (encoder, enc_params), _ = toy_bundle
     jit_enc = JitTextEncoder(encoder, enc_params, dispatch_stack=3)
-    shapes = [(2, 4), (3, 6), (4, 5)]
+    # Same shape pool as the executor tests above (single-batch programs
+    # shared; only the stack=3 variants are new compiles).
+    shapes = [(4, 6), (8, 3), (2, 6)]
     for trial, max_pending in ((0, 0), (1, 1), (2, 2), (3, 64)):
         rng = np.random.default_rng(trial)
         batches = []
