@@ -26,7 +26,7 @@ import numpy as np
 
 from sonar_tpu.data.collate import Collater, DEFAULT_LEN_BUCKETS, SequenceBatch
 from sonar_tpu.data.pipeline import read_sequence, read_text
-from sonar_tpu.inference_pipelines.utils import add_progress_bar, precision_context
+from sonar_tpu.inference_pipelines.utils import add_progress_bar
 from sonar_tpu.models.sonar_text.model import SonarTextEncoder
 
 
@@ -536,32 +536,34 @@ class TextToEmbeddingModelPipeline:
             tokens = (
                 _map_tokenize(builder, tokenizer_encoder).map(truncate).and_return()
             )
-            with precision_context(self.model.dtype):
-                from sonar_tpu.data.pipeline import read_iterator
+            from sonar_tpu.data.pipeline import read_iterator
 
-                # Three-way overlap: a prefetch thread tokenizes (GIL-free
-                # native batch calls) + buckets + pad-collates while the
-                # streaming executor below dispatches stacked batches to the
-                # device and starts each result's D2H copy immediately.
-                # Without this the host stages serialize with chip time and
-                # cap end-to-end throughput (scripts/bench_e2e_text.py).
-                it = iter(
-                    read_iterator(
-                        lambda: batcher.batches(iter(tokens), yield_indices=True)
-                    )
-                    .prefetch(64)
-                    .and_return()
+            # Three-way overlap: a prefetch thread tokenizes (GIL-free
+            # native batch calls) + buckets + pad-collates while the
+            # streaming executor below dispatches stacked batches to the
+            # device and starts each result's D2H copy immediately.
+            # Without this the host stages serialize with chip time and
+            # cap end-to-end throughput (scripts/bench_e2e_text.py).
+            # (No precision_context here: the runtime's traced programs
+            # apply the fp32->HIGHEST policy themselves, ops/precision.py —
+            # an outer context would only force a redundant retrace.)
+            it = iter(
+                read_iterator(
+                    lambda: batcher.batches(iter(tokens), yield_indices=True)
                 )
-                positions = []
+                .prefetch(64)
+                .and_return()
+            )
+            positions = []
 
-                def batches_only():
-                    for b, pos in it:
-                        positions.append(pos)
-                        yield b
+            def batches_only():
+                for b, pos in it:
+                    positions.append(pos)
+                    yield b
 
-                embs = self.model.encode_batches_iter(
-                    batches_only(), max_pending=_STATIC_ENCODE_WINDOW
-                )
+            embs = self.model.encode_batches_iter(
+                batches_only(), max_pending=_STATIC_ENCODE_WINDOW
+            )
             if n_truncated:
                 warnings.warn(
                     f"For {n_truncated} input tensors for SONAR text encoder, "
@@ -597,8 +599,7 @@ class TextToEmbeddingModelPipeline:
                 batch_size=batch_size if batch_max_tokens is None else None,
             )
 
-        with precision_context(self.model.dtype):
-            results = list(iter(iterable))
+        results = list(iter(iterable))
 
         if n_truncated:
             warnings.warn(
@@ -712,8 +713,7 @@ class TextToTextModelPipeline:
         iterable = stream
         if progress_bar:
             iterable = add_progress_bar(stream, inputs=input, batch_size=batch_size)
-        with precision_context(self.model.dtype):
-            results = list(iter(iterable))
+        results = list(iter(iterable))
         return [x for y in results for x in y]
 
 
@@ -787,8 +787,7 @@ class EmbeddingToTextModelPipeline:
         iterable = pipeline
         if progress_bar:
             iterable = add_progress_bar(pipeline, inputs=inputs, batch_size=batch_size)
-        with precision_context(self.decoder.dtype):
-            results = list(iter(iterable))
+        results = list(iter(iterable))
         return [x for y in results for x in y]
 
 

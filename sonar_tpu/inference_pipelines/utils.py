@@ -20,10 +20,12 @@ def precision_context(dtype: "jnp.dtype") -> Iterator[None]:
     fp32 models get 'highest' (true fp32 MXU passes) for numerical parity;
     bf16/fp16 run at the fast default.
 
-    The authoritative policy now lives INSIDE the runtime-traced functions
+    The authoritative policy lives INSIDE the runtime-traced functions
     (``sonar_tpu.ops.precision.matmul_precision_for``) so warmup / direct
-    runtime calls / pipelines all produce the same program; this pipeline-
-    level wrapper remains for any eager matmul outside the runtimes.
+    runtime calls / pipelines all produce — and cache — the same program;
+    the pipelines no longer wrap predict in this context (an outer context
+    changes the jit trace-context key and forces a redundant retrace).
+    Kept as a public utility for user code running eager matmuls.
     """
     from sonar_tpu.ops.precision import matmul_precision_for
 

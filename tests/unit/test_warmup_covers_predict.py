@@ -1,0 +1,124 @@
+"""The cold-start contract: after ``warmup()``, ``predict()`` compiles NO
+runtime program (encoder apply / stacked apply / beam fn).
+
+This is the end-to-end form of the precision-policy pin
+(``test_precision_policy.py``): warmup and predict must not only trace
+identical modules, the predict call on a warmed pipeline must never reach
+XLA compilation for a model program at all (same-instance jit caches).
+Guards both precision-context drift AND shape-enumeration drift between
+the warmup paths and the serve paths.
+"""
+
+import contextlib
+import dataclasses
+import sys
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+from helpers import build_toy_nllb
+
+from sonar_tpu import (
+    EmbeddingToTextModelPipeline,
+    TextToEmbeddingModelPipeline,
+    TextToTextModelPipeline,
+)
+from sonar_tpu.models.sonar_text import (
+    SonarTextEncoder,
+    sonar_text_decoder_archs,
+    sonar_text_encoder_archs,
+)
+from sonar_tpu.nn.conditional_decoder import ConditionalTransformerDecoder
+
+# Runtime program names (jit'd function names in the runtimes); eager host
+# ops (convert_element_type, concatenate, ...) are allowed to compile.
+MODEL_PROGRAMS = {"jit__apply", "jit__stacked", "jit_fn"}
+
+
+@contextlib.contextmanager
+def forbid_model_compiles():
+    import jax._src.compiler as C
+
+    real = C.compile_or_get_cached
+    seen = []
+
+    def wrap(backend, computation, *a, **k):
+        try:
+            name = str(computation.operation.attributes["sym_name"]).strip('"')
+        except Exception:
+            name = "?"
+        if name.split("$")[0] in MODEL_PROGRAMS:
+            seen.append(name)
+        return real(backend, computation, *a, **k)
+
+    C.compile_or_get_cached = wrap
+    try:
+        yield seen
+    finally:
+        C.compile_or_get_cached = real
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    tok = build_toy_nllb(tmp_path_factory.mktemp("warmtok"))
+    enc_cfg = dataclasses.replace(
+        sonar_text_encoder_archs.get("toy"),
+        vocab_info=dataclasses.replace(
+            sonar_text_encoder_archs.get("toy").vocab_info, size=len(tok.model)
+        ),
+    )
+    dec_cfg = dataclasses.replace(
+        sonar_text_decoder_archs.get("toy"),
+        vocab_info=dataclasses.replace(
+            sonar_text_decoder_archs.get("toy").vocab_info, size=len(tok.model)
+        ),
+    )
+    encoder = SonarTextEncoder(enc_cfg)
+    enc_params = encoder.init_params(jax.random.PRNGKey(0))
+    decoder = ConditionalTransformerDecoder(dec_cfg)
+    dec_params = decoder.init_params(jax.random.PRNGKey(1))
+    return tok, (encoder, enc_params), (decoder, dec_params)
+
+
+def test_text_embed_static_predict_fully_warmed(bundle):
+    tok, enc, _ = bundle
+    pipe = TextToEmbeddingModelPipeline(encoder=enc, tokenizer=tok)
+    pipe.model.warmup()  # all static serving shapes at the default budget
+    with forbid_model_compiles() as seen:
+        out = pipe.predict(
+            ["hello world", "my name is paul", "hello"],
+            source_lang="eng_Latn", batching="static",
+        )
+    assert out.shape[0] == 3
+    assert not seen, f"predict compiled after warmup: {seen}"
+
+
+def test_embedding_to_text_predict_fully_warmed(bundle):
+    tok, _, dec = bundle
+    pipe = EmbeddingToTextModelPipeline(decoder=dec, tokenizer=tok)
+    pipe.warmup(batch_size=2, target_lang="eng_Latn", max_seq_len=8)
+    emb = np.random.default_rng(0).normal(
+        size=(2, pipe.decoder.model.config.model_dim)
+    ).astype(np.float32)
+    with forbid_model_compiles() as seen:
+        texts = pipe.predict(emb, target_lang="eng_Latn", batch_size=2,
+                             max_seq_len=8)
+    assert len(texts) == 2
+    assert not seen, f"predict compiled after warmup: {seen}"
+
+
+def test_text_to_text_predict_fully_warmed(bundle):
+    tok, enc, dec = bundle
+    pipe = TextToTextModelPipeline(encoder=enc, decoder=dec, tokenizer=tok)
+    pipe.warmup(batch_size=2, target_lang="fra_Latn", max_seq_len=8)
+    with forbid_model_compiles() as seen:
+        out = pipe.predict(
+            ["hello world", "my name is paul"],
+            source_lang="eng_Latn", target_lang="fra_Latn",
+            batch_size=2, max_seq_len=8,
+        )
+    assert len(out) == 2
+    assert not seen, f"predict compiled after warmup: {seen}"
