@@ -110,6 +110,28 @@ def test_embedding_to_text_predict_fully_warmed(bundle):
     assert not seen, f"predict compiled after warmup: {seen}"
 
 
+def test_speech_embed_predict_fully_warmed():
+    from sonar_tpu.inference_pipelines.speech import (
+        SpeechToEmbeddingModelPipeline,
+    )
+    from sonar_tpu.models.sonar_speech import (
+        SonarSpeechEncoder,
+        sonar_speech_encoder_archs,
+    )
+
+    model = SonarSpeechEncoder(sonar_speech_encoder_archs.get("toy"))
+    params = model.init_params(jax.random.PRNGKey(0))
+    pipe = SpeechToEmbeddingModelPipeline(encoder=(model, params))
+    pipe.warmup(batch_size=2, max_wave_len=16000)
+    rng = np.random.default_rng(0)
+    waves = [(rng.normal(size=12000) * 0.1).astype(np.float32),
+             (rng.normal(size=15000) * 0.1).astype(np.float32)]
+    with forbid_model_compiles() as seen:
+        out = pipe.predict(waves, batch_size=2)
+    assert out.shape == (2, model.config.model_dim)
+    assert not seen, f"predict compiled after warmup: {seen}"
+
+
 def test_text_to_text_predict_fully_warmed(bundle):
     tok, enc, dec = bundle
     pipe = TextToTextModelPipeline(encoder=enc, decoder=dec, tokenizer=tok)
