@@ -96,22 +96,28 @@ class BlaserModel:
         mt: jnp.ndarray,
         ref: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        from sonar_tpu.ops.precision import matmul_precision_for
+
         cfg = self.config
-        if cfg.norm_emb:
-            norm = lambda e: None if e is None else e / jnp.maximum(
-                jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12
-            )
-            src, mt, ref = norm(src), norm(mt), norm(ref)
-        x = self.featurize(src, mt, ref)
-        act = get_activation(cfg.activation.lower())
-        n = len(params["mlp"])
-        for i in range(n):
-            x = linear(params["mlp"][str(i)], x)
-            if i < n - 1:
-                x = act(x)
-        if cfg.output_act:
-            x = jnp.tanh(x)
-        return x
+        # fp32 head scored against published 1e-4 goldens: true-fp32
+        # matmuls on TPU too (DEFAULT f32 dots run as bf16 passes there;
+        # the MLP is tiny, exactness is free). See ops/precision.py.
+        with matmul_precision_for(jnp.float32):
+            if cfg.norm_emb:
+                norm = lambda e: None if e is None else e / jnp.maximum(
+                    jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12
+                )
+                src, mt, ref = norm(src), norm(mt), norm(ref)
+            x = self.featurize(src, mt, ref)
+            act = get_activation(cfg.activation.lower())
+            n = len(params["mlp"])
+            for i in range(n):
+                x = linear(params["mlp"][str(i)], x)
+                if i < n - 1:
+                    x = act(x)
+            if cfg.output_act:
+                x = jnp.tanh(x)
+            return x
 
 
 def create_blaser_model(config: BlaserConfig) -> BlaserModel:

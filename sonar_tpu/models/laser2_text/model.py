@@ -74,17 +74,22 @@ class LaserLstmEncoder:
         self, params: Params, seqs: jnp.ndarray, seq_lens: jnp.ndarray
     ) -> jnp.ndarray:
         """seqs [B, S] int32, seq_lens [B] -> [B, output_units] embeddings."""
+        from sonar_tpu.ops.precision import matmul_precision_for
+
         cfg = self.config
-        x = embedding_lookup(params["embed_tokens"], seqs, dtype=self.dtype)
-        x = x.transpose(1, 0, 2)  # [T, B, C]
-        outs = bilstm_stack(
-            params["lstm"], x, seq_lens, cfg.hidden_size, cfg.num_layers,
-            cfg.bidirectional,
-        )  # [T, B, H*]
-        t = outs.shape[0]
-        valid = (jnp.arange(t)[:, None] < seq_lens[None, :])[..., None]
-        outs = jnp.where(valid, outs, -jnp.inf)
-        return jnp.max(outs, axis=0)
+        # fp32 model -> true-fp32 LSTM matmuls on TPU too (ops/precision.py;
+        # LSTM steps are sequential and tiny, exactness is free).
+        with matmul_precision_for(self.dtype):
+            x = embedding_lookup(params["embed_tokens"], seqs, dtype=self.dtype)
+            x = x.transpose(1, 0, 2)  # [T, B, C]
+            outs = bilstm_stack(
+                params["lstm"], x, seq_lens, cfg.hidden_size, cfg.num_layers,
+                cfg.bidirectional,
+            )  # [T, B, H*]
+            t = outs.shape[0]
+            valid = (jnp.arange(t)[:, None] < seq_lens[None, :])[..., None]
+            outs = jnp.where(valid, outs, -jnp.inf)
+            return jnp.max(outs, axis=0)
 
 
 def laser2_params_from_torch(flat: dict) -> Params:

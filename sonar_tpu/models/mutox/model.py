@@ -49,15 +49,20 @@ class MutoxClassifier:
     def apply(
         self, params: Params, inputs: jnp.ndarray, output_prob: bool = False
     ) -> jnp.ndarray:
-        x = inputs
-        n = len(params["layers"])
-        for i in range(n):
-            if i > 0:
-                x = jax.nn.relu(x)
-            x = linear(params["layers"][str(i)], x)
-        if output_prob:
-            x = jax.nn.sigmoid(x)
-        return x
+        from sonar_tpu.ops.precision import matmul_precision_for
+
+        # fp32 classifier head: true-fp32 matmuls on TPU too (see
+        # ops/precision.py; the MLP is tiny, exactness is free).
+        with matmul_precision_for(jnp.float32):
+            x = inputs
+            n = len(params["layers"])
+            for i in range(n):
+                if i > 0:
+                    x = jax.nn.relu(x)
+                x = linear(params["layers"][str(i)], x)
+            if output_prob:
+                x = jax.nn.sigmoid(x)
+            return x
 
 
 def create_mutox_model(config: MutoxConfig) -> MutoxClassifier:

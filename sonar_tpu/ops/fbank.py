@@ -120,7 +120,15 @@ def _fbank_fixed(
     power = jnp.square(jnp.real(spec)) + jnp.square(jnp.imag(spec))
 
     banks = jnp.asarray(mel_banks(config))                    # [M, K]
-    mel = jnp.einsum("fk,mk->fm", power, banks, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: on TPU, DEFAULT f32 matmuls run as bf16 passes;
+    # the mel energies feed a log (quiet bins amplify any multiply error)
+    # and the Kaldi golden tolerance is 1e-4. This matmul is tiny
+    # ([F,257]x[257,80]) next to the encoder, so exactness is free.
+    mel = jnp.einsum(
+        "fk,mk->fm", power, banks,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.log(jnp.maximum(mel, FLT_EPSILON))
 
 
