@@ -60,8 +60,13 @@ def cosine_topk(
 
     ``dot_dtype=jnp.bfloat16`` runs the similarity matmul on the MXU's
     native bf16 path (fp32 accumulation) — ~2x on TPU, with similarity
-    error ~1e-2 of rank-relevant margin; the fp32 default keeps rankings
-    bit-stable for parity work. ``dot_dtype="int8"`` quantizes both banks
+    error ~1e-2 of rank-relevant margin. The fp32 default uses the TPU's
+    standard f32 dot (bf16 multiply passes + fp32 accumulation at DEFAULT
+    precision — deterministic, but not bit-equal to true fp32); for
+    bit-level fp32 parity against CPU references, wrap the call in
+    ``jax.default_matmul_precision("highest")`` — the trace context keys
+    the memoized program, so the slower exact variant compiles separately
+    and only when asked for. ``dot_dtype="int8"`` quantizes both banks
     per-row (symmetric, 127 levels over each row's absmax — rows are
     L2-normalized so the scale is tight) and runs the packed-int8 MXU dot
     with int32 accumulation, rescaling to fp32 similarities; selection and
