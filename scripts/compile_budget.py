@@ -32,6 +32,25 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+def cpu_calibration(seconds: float = 2.0) -> float:
+    """Measured single-core matmul rate (GFLOP/s) right now.
+
+    Shared-tenancy CPU speed swings by >15% between windows; dividing a
+    cold-suite wall by (ref_rate / current_rate) makes runs comparable."""
+    import numpy as np
+
+    n = 512
+    a = np.random.default_rng(0).normal(size=(n, n))
+    b = np.random.default_rng(1).normal(size=(n, n))
+    flops_per = 2 * n**3
+    t0 = time.perf_counter()
+    reps = 0
+    while time.perf_counter() - t0 < seconds:
+        a @ b
+        reps += 1
+    dt = time.perf_counter() - t0
+    return reps * flops_per / dt / 1e9
+
 PLUGIN = '''
 import json, time
 import jax._src.compiler as C
@@ -80,7 +99,8 @@ def run_cold(log_path: str) -> tuple[float, str]:
         return wall, tail
 
 
-def analyze(log_path: str, wall: float, tail: str) -> str:
+def analyze(log_path: str, wall: float, tail: str,
+            gflops: float | None = None) -> str:
     recs = [json.loads(l) for l in open(log_path)]
     total_s = sum(r["s"] for r in recs)
     lines = []
@@ -88,6 +108,10 @@ def analyze(log_path: str, wall: float, tail: str) -> str:
     w("# Cold-suite compile budget (measured)")
     w("")
     w(f"- suite: `{tail}`; subprocess wall {wall:.0f}s")
+    if gflops is not None:
+        w(f"- box speed at run time: {gflops:.2f} single-core GFLOP/s "
+          f"(512^3 numpy matmul; compare runs via wall x rate ratio — "
+          f"same-code cold walls varied 387-531 s across windows in r5)")
     w(f"- XLA programs: {len(recs)}; total time in "
       f"`compile_or_get_cached`: {total_s:.1f}s")
     w("")
@@ -142,8 +166,10 @@ def main() -> None:
     args = ap.parse_args()
     with tempfile.NamedTemporaryFile(suffix=".jsonl", delete=False) as f:
         log_path = f.name
+    g0 = cpu_calibration()
     wall, tail = run_cold(log_path)
-    report = analyze(log_path, wall, tail)
+    g1 = cpu_calibration()
+    report = analyze(log_path, wall, tail, gflops=(g0 + g1) / 2)
     if args.out:
         with open(args.out, "w") as f:
             f.write(report)
