@@ -86,11 +86,15 @@ def bundle(tmp_path_factory):
 def test_text_embed_static_predict_fully_warmed(bundle):
     tok, enc, _ = bundle
     pipe = TextToEmbeddingModelPipeline(encoder=enc, tokenizer=tok)
-    pipe.model.warmup()  # all static serving shapes at the default budget
+    # Tiny token budget: same bucket SET as predict (len_buckets=None on
+    # both sides), few rows per bucket — the contract under test is shape
+    # coverage + program identity, not the production 8192-token budget
+    # (which compiles [1024, 8]-class programs: ~23 s cold for one test).
+    pipe.model.warmup(tokens_per_batch=64)
     with forbid_model_compiles() as seen:
         out = pipe.predict(
             ["hello world", "my name is paul", "hello"],
-            source_lang="eng_Latn", batching="static",
+            source_lang="eng_Latn", batching="static", batch_max_tokens=64,
         )
     assert out.shape[0] == 3
     assert not seen, f"predict compiled after warmup: {seen}"
