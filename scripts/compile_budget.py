@@ -35,8 +35,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def cpu_calibration(seconds: float = 2.0) -> float:
     """Measured single-core matmul rate (GFLOP/s) right now.
 
-    Shared-tenancy CPU speed swings by >15% between windows; dividing a
-    cold-suite wall by (ref_rate / current_rate) makes runs comparable."""
+    Shared-tenancy CPU speed swings by >15% between windows. NOTE
+    (measured r5): BLAS rate does NOT track XLA compile speed — one window
+    showed 45 GFLOP/s BLAS with 1.2x-slow compiles (LLVM is branch/cache
+    bound, BLAS rides AVX turbo). Use ``compile_calibration`` as the
+    yardstick for cold-suite walls; this stays as a general load probe."""
     import numpy as np
 
     n = 512
@@ -50,6 +53,44 @@ def cpu_calibration(seconds: float = 2.0) -> float:
         reps += 1
     dt = time.perf_counter() - t0
     return reps * flops_per / dt / 1e9
+
+
+CALIBRATION_PROG = r'''
+import os, time
+os.environ["XLA_FLAGS"] = "--xla_backend_optimization_level=0"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+def make(i):
+    def fn(x, w1, w2):
+        def body(c, _):
+            h = jnp.maximum(c @ w1, 0.0)
+            c = jnp.tanh(h @ w2) * (1.0 + i) + c
+            s = jax.nn.softmax(c, axis=-1)
+            top, _ = jax.lax.top_k(s, 8)
+            return c, top.sum(-1)
+        out, sums = jax.lax.scan(body, x, None, length=12)
+        return out.mean() + sums.sum()
+    return fn
+
+x = jnp.ones((64, 192)); w1 = jnp.ones((192, 384)); w2 = jnp.ones((384, 192))
+t0 = time.perf_counter()
+for i in range(8):
+    jax.jit(make(i)).lower(x, w1, w2).compile()
+print(f"{time.perf_counter() - t0:.3f}")
+'''
+
+
+def compile_calibration() -> float:
+    """Seconds to compile one fixed mid-size XLA program in a fresh
+    process (no persistent cache configured there) — the direct yardstick
+    for comparing cold-suite walls across box windows."""
+    proc = subprocess.run(
+        [sys.executable, "-c", CALIBRATION_PROG],
+        capture_output=True, text=True, timeout=300,
+    )
+    return float(proc.stdout.strip().splitlines()[-1])
 
 PLUGIN = '''
 import json, time
@@ -100,7 +141,8 @@ def run_cold(log_path: str) -> tuple[float, str]:
 
 
 def analyze(log_path: str, wall: float, tail: str,
-            gflops: float | None = None) -> str:
+            gflops: float | None = None,
+            compile_ref_s: float | None = None) -> str:
     recs = [json.loads(l) for l in open(log_path)]
     total_s = sum(r["s"] for r in recs)
     lines = []
@@ -110,8 +152,13 @@ def analyze(log_path: str, wall: float, tail: str,
     w(f"- suite: `{tail}`; subprocess wall {wall:.0f}s")
     if gflops is not None:
         w(f"- box speed at run time: {gflops:.2f} single-core GFLOP/s "
-          f"(512^3 numpy matmul; compare runs via wall x rate ratio — "
-          f"same-code cold walls varied 387-531 s across windows in r5)")
+          f"(512^3 numpy matmul — load probe only; does NOT track compile "
+          f"speed)")
+    if compile_ref_s is not None:
+        w(f"- compile yardstick: {compile_ref_s:.2f}s for the fixed "
+          f"reference program (fresh process, no cache) — compare cold "
+          f"walls across box windows via this ratio; same-code cold walls "
+          f"varied 387-577 s across windows in r5")
     w(f"- XLA programs: {len(recs)}; total time in "
       f"`compile_or_get_cached`: {total_s:.1f}s")
     w("")
@@ -167,9 +214,12 @@ def main() -> None:
     with tempfile.NamedTemporaryFile(suffix=".jsonl", delete=False) as f:
         log_path = f.name
     g0 = cpu_calibration()
+    c0 = compile_calibration()
     wall, tail = run_cold(log_path)
+    c1 = compile_calibration()
     g1 = cpu_calibration()
-    report = analyze(log_path, wall, tail, gflops=(g0 + g1) / 2)
+    report = analyze(log_path, wall, tail, gflops=(g0 + g1) / 2,
+                     compile_ref_s=(c0 + c1) / 2)
     if args.out:
         with open(args.out, "w") as f:
             f.write(report)
