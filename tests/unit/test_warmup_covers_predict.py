@@ -86,15 +86,22 @@ def bundle(tmp_path_factory):
 def test_text_embed_static_predict_fully_warmed(bundle):
     tok, enc, _ = bundle
     pipe = TextToEmbeddingModelPipeline(encoder=enc, tokenizer=tok)
-    # Tiny token budget: same bucket SET as predict (len_buckets=None on
-    # both sides), few rows per bucket — the contract under test is shape
-    # coverage + program identity, not the production 8192-token budget
-    # (which compiles [1024, 8]-class programs: ~23 s cold for one test).
-    pipe.model.warmup(tokens_per_batch=64)
+    # Tiny budget, capped length: warmup enumerates buckets with the SAME
+    # function predict's static path uses (_static_len_buckets_for), so
+    # the coverage coupling under test is real — while the toy's 512
+    # max_seq_len doesn't drag all 10 suite buckets into one test's cold
+    # cost (the production 8192-token default compiles [1024, 8]-class
+    # programs: ~23 s cold for this test alone). 32 matches
+    # test_text_pipelines' windowed-drain budget for compile-cache hits.
+    from sonar_tpu.inference_pipelines.text import _static_len_buckets_for
+
+    pipe.model.warmup(len_buckets=_static_len_buckets_for(16),
+                      tokens_per_batch=32)
     with forbid_model_compiles() as seen:
         out = pipe.predict(
             ["hello world", "my name is paul", "hello"],
-            source_lang="eng_Latn", batching="static", batch_max_tokens=64,
+            source_lang="eng_Latn", batching="static", batch_max_tokens=32,
+            max_seq_len=16,
         )
     assert out.shape[0] == 3
     assert not seen, f"predict compiled after warmup: {seen}"
