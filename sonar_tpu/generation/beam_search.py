@@ -104,8 +104,12 @@ def beam_search_oracle(
     eos_idx: int,
     config: BeamSearchConfig,
     unk_idx: Optional[int] = None,
+    early_exit: bool = True,
 ) -> Tuple[List[int], float]:
     """Single-sequence beam search over a stateless logprob callback.
+
+    ``early_exit=False`` disables the bound-based early exit (exhaustive to
+    ``max_gen_len``) — the brute-force referee for testing the bound itself.
 
     ``logprob_fn(seqs)`` returns next-token logprobs [n, V] for full prefixes
     (teacher-forced recompute per step — O(T^2) but trivially correct).
@@ -141,13 +145,26 @@ def beam_search_oracle(
         beams = new_beams
         # Early-exit bound: cumulative logprob only decreases, EOS charge is
         # <= 0, and for negative scores the length normalization is most
-        # favorable at the MAXIMUM possible finalization length — which is
-        # max_gen_len + 1 (the forced-EOS hypothesis). Normalizing at
-        # max_gen_len instead would under-bound the forced candidate and
-        # let early exit drop a winning hypothesis.
+        # favorable at the MAXIMUM possible finalization length when
+        # len_penalty >= 0 — which is max_gen_len + 1 (the forced-EOS
+        # hypothesis; normalizing at max_gen_len instead would under-bound
+        # the forced candidate and let early exit drop a winning
+        # hypothesis). A NEGATIVE penalty (favors shorter outputs; legal in
+        # fairseq) inverts that: dividing a negative score by len^p with
+        # p < 0 is most favorable at the MINIMUM possible future length —
+        # the very next step's finalization, step + 2 here (`finished` this
+        # iteration used step + 1). A crafted logit table where the
+        # max-length bound provably drops the winning hypothesis lives in
+        # test_generation.py::test_negative_penalty_bound_crafted_table.
+        bound_len = (
+            config.max_gen_len + 1
+            if (not config.normalize_scores or config.len_penalty >= 0)
+            else step + 2
+        )
         if not beams or (
-            len(finished) >= K
-            and max(config.normalized(sc, config.max_gen_len + 1) for _, sc in beams)
+            early_exit
+            and len(finished) >= K
+            and max(config.normalized(sc, bound_len) for _, sc in beams)
             <= min(f[1] for f in sorted(finished, key=lambda x: -x[1])[:K])
         ):
             exhausted = False
@@ -270,12 +287,21 @@ def beam_search_lax(
         # logprob only decreases, the forced EOS charge is <= 0, and for
         # negative scores the length normalization is most favorable at the
         # maximum possible finalization length = max_gen_len + 1 (the
-        # forced-EOS hypothesis). Same bound as the oracle; this is also
-        # what keeps the final merge per-row consistent — a row whose bound
-        # says "cannot improve" provably gains nothing from the
-        # forced-EOS candidates another row's progress exposes it to.
-        max_len = jnp.full((), config.max_gen_len + 1, jnp.int32)
-        live_best = _length_norm(state.scores, max_len, config).max(axis=1)
+        # forced-EOS hypothesis) when len_penalty >= 0 — a NEGATIVE penalty
+        # inverts that, so the bound switches to the MINIMUM possible
+        # future length (the next step's finalization, step + 1 with
+        # state.step counting completed steps). Same bound as the oracle;
+        # this is also what keeps the final merge per-row consistent — a
+        # row whose bound says "cannot improve" provably gains nothing from
+        # the forced-EOS candidates another row's progress exposes it to.
+        # len_penalty may be a traced scalar (JitTextDecoder passes it as
+        # an argument), so the sign branch is a jnp.where, not python `if`.
+        bound_len = jnp.where(
+            jnp.asarray(config.len_penalty, jnp.float32) >= 0,
+            jnp.asarray(config.max_gen_len + 1, jnp.int32),
+            state.step + 1,
+        )
+        live_best = _length_norm(state.scores, bound_len, config).max(axis=1)
         fin_worst = state.fin_scores.min(axis=1)
         improvable = live_best > fin_worst
         return jnp.logical_and(state.step < config.max_gen_len, improvable.any())

@@ -232,6 +232,10 @@ def test_beam_config_rejects_unknown_kwargs():
         (dict(len_penalty=0.5, normalize_scores=False), (5,)),
         (dict(), (5, 9, 12)),                             # prefix length 4
         (dict(len_penalty=2.0, min_gen_len=2), (5, 9, 12, 7)),  # prefix length 5
+        # NEGATIVE penalty (favors shorter outputs; legal in fairseq):
+        # flips the early-exit bound to the MINIMUM future length.
+        (dict(len_penalty=-0.5), (5,)),
+        (dict(len_penalty=-1.0, min_gen_len=2), (5, 9)),
     ],
 )
 def test_beam_oracle_matrix_extended(kwargs, prefix_tail):
@@ -253,6 +257,91 @@ def test_beam_oracle_matrix_extended(kwargs, prefix_tail):
     got = tokens[0, 0][: int(lens[0, 0])].tolist()
     assert got == want_tokens
     np.testing.assert_allclose(scores[0, 0], want_score, atol=1e-4)
+
+
+def test_beam_early_exit_bound_vs_brute_force():
+    """The early-exit bound must never drop a winning hypothesis: for
+    penalties of BOTH signs, the (early-exiting) lax path must equal the
+    oracle with early exit DISABLED (exhaustive to max_gen_len). With a
+    negative penalty the bound direction inverts — normalization favors
+    the MINIMUM future length — which agreement with the normal oracle
+    alone cannot catch (both implementations could share a wrong bound)."""
+    dec, params = _tiny_decoder()
+    vi = dec.config.vocab_info
+    prefix = [vi.eos_idx, 5]
+    memory = jax.random.normal(jax.random.PRNGKey(77), (1, 1, dec.config.model_dim))
+    runtime = JitTextDecoder(dec, params)
+    for penalty in (-1.0, -0.5, 0.0, 0.7, 1.5):
+        config = BeamSearchConfig(beam_size=3, max_gen_len=8,
+                                  len_penalty=penalty)
+        want_tokens, want_score = beam_search_oracle(
+            _oracle_logprob_fn(dec, params, memory), prefix, vi.eos_idx,
+            config, early_exit=False,
+        )
+        tokens, scores, lens = runtime.generate_beam(
+            np.asarray(memory), prefix, config
+        )
+        got = tokens[0, 0][: int(lens[0, 0])].tolist()
+        assert got == want_tokens, penalty
+        np.testing.assert_allclose(scores[0, 0], want_score, atol=1e-4,
+                                   err_msg=str(penalty))
+
+
+def test_negative_penalty_bound_crafted_table():
+    """Early-exit bound correctness under a NEGATIVE length penalty, on a
+    crafted per-step logit table where the max-length bound provably drops
+    the winning hypothesis: with len_penalty=-1, two mediocre early
+    finishes (norm -2.5 at L=1, -3.2 at L=2) satisfy the max-length bound
+    for the strong live beam (-0.62 * 9 = -5.6 <= -3.2 -> wrong exit),
+    while one more step finishes [a, a, eos] at raw -0.62 * L=3 = -1.86 —
+    the true best. The min-future-length bound (-0.62 * 3 = -1.9 > -3.2)
+    keeps searching. Verified against the brute-force oracle
+    (early_exit=False); the lax path runs the SAME table via a synthetic
+    model-free step_fn."""
+    table = np.asarray([
+        # eos      a      b      c      (log-softmax rows, lse ~ 0)
+        [-2.5,   -0.1,  -4.34, -30.0],
+        [-1.5,   -0.5,  -1.77, -30.0],
+        [-0.0202, -4.5, -4.72, -30.0],
+    ], np.float32)
+    eos = 0
+    config = BeamSearchConfig(beam_size=2, max_gen_len=8, len_penalty=-1.0)
+
+    def lp_fn(seqs):
+        # oracle callback: next-token logprobs by generation step
+        return np.stack([table[min(len(s) - 1, len(table) - 1)] for s in seqs])
+
+    want_tokens, want_score = beam_search_oracle(
+        lp_fn, [eos], eos, config, early_exit=False
+    )
+    assert want_tokens == [1, 1, 0]
+    np.testing.assert_allclose(want_score, -1.8606, atol=2e-3)
+
+    # bound-enabled oracle must agree with brute force
+    got_tokens, got_score = beam_search_oracle(lp_fn, [eos], eos, config)
+    assert got_tokens == want_tokens
+    np.testing.assert_allclose(got_score, want_score, rtol=1e-6)
+
+    # lax path: synthetic step_fn, cache = a step counter (model-free)
+    from sonar_tpu.generation.beam_search import beam_search_lax
+
+    table_j = jnp.asarray(table)
+    N = 1 * config.beam_size
+
+    def step_fn(tokens, cache, ancestry):
+        row = table_j[jnp.minimum(cache["i"], len(table) - 1)]
+        logits = jnp.broadcast_to(row, (N, table.shape[1]))
+        return logits.astype(jnp.float32), {"i": cache["i"] + 1}
+
+    fn = jax.jit(lambda cache, prefix: beam_search_lax(
+        step_fn, cache, prefix, eos, table.shape[1], config, pad_idx=3,
+    ))
+    tokens, scores, lens = fn(
+        {"i": jnp.asarray(0, jnp.int32)}, jnp.asarray([[eos]], jnp.int32)
+    )
+    got = tokens[0, 0][: int(lens[0, 0])].tolist()
+    assert got == want_tokens
+    np.testing.assert_allclose(float(scores[0, 0]), want_score, atol=1e-4)
 
 
 def test_beam_mixed_finishers_match_oracle():
