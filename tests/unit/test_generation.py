@@ -344,6 +344,59 @@ def test_negative_penalty_bound_crafted_table():
     np.testing.assert_allclose(float(scores[0, 0]), want_score, atol=1e-4)
 
 
+def test_beam_lax_vs_brute_force_random_tables():
+    """Fuzz: beam_search_lax (early exit ON) vs the brute-force oracle on
+    random per-step logprob tables, penalties of both signs. Synthetic
+    tables produce adversarial eos-probability swings a trained toy model
+    never emits; one compiled program serves every (table, penalty) pair
+    (the table is an argument and penalties are traced)."""
+    from sonar_tpu.generation.beam_search import beam_search_lax
+
+    eos, V, steps = 0, 6, 4
+    K, max_gen = 2, 6
+    N = K  # B=1
+
+    def make_fn(config):
+        def step_fn(tokens, cache, ancestry):
+            row = cache["table"][jnp.minimum(cache["i"], steps - 1)]
+            return (jnp.broadcast_to(row, (N, V)).astype(jnp.float32),
+                    {"table": cache["table"], "i": cache["i"] + 1})
+
+        return jax.jit(lambda table, prefix: beam_search_lax(
+            step_fn, {"table": table, "i": jnp.asarray(0, jnp.int32)},
+            prefix, eos, V, config, pad_idx=eos,
+        ))
+
+    fns = {}
+    rng = np.random.default_rng(42)
+    for trial in range(6):
+        logits = rng.normal(scale=2.0, size=(steps, V))
+        table = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        for penalty in (-1.0, -0.3, 1.0, 1.7):
+            config = BeamSearchConfig(beam_size=K, max_gen_len=max_gen,
+                                      len_penalty=penalty)
+            def lp_fn(seqs, table=table):
+                return np.stack(
+                    [table[min(len(s) - 1, steps - 1)] for s in seqs]
+                )
+
+            want_tokens, want_score = beam_search_oracle(
+                lp_fn, [eos], eos, config, early_exit=False
+            )
+            if penalty not in fns:
+                fns[penalty] = make_fn(config)
+            tokens, scores, lens = fns[penalty](
+                jnp.asarray(table, jnp.float32),
+                jnp.asarray([[eos]], jnp.int32),
+            )
+            got = tokens[0, 0][: int(lens[0, 0])].tolist()
+            assert got == want_tokens, (trial, penalty)
+            np.testing.assert_allclose(
+                float(scores[0, 0]), want_score, atol=1e-4,
+                err_msg=str((trial, penalty)),
+            )
+
+
 def test_beam_mixed_finishers_match_oracle():
     """A batch whose rows finalize at different steps: each row must match
     its single-row oracle run exactly (early finishers keep padding/stop
