@@ -17,10 +17,9 @@ host stages) has its own scripts with NLLB-scale synthetic tokenizers:
 from __future__ import annotations
 
 import json
-import time
-
-import sys
 from pathlib import Path
+import sys
+import time
 
 import jax
 import jax.numpy as jnp

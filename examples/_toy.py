@@ -7,8 +7,8 @@ tokenizer so every example still runs end-to-end (random weights — the
 outputs demonstrate the API, not translation quality).
 """
 
-import tempfile
 from pathlib import Path
+import tempfile
 
 import jax
 

@@ -8,9 +8,9 @@ no content caching.
 
 import functools
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

@@ -12,9 +12,9 @@ slope at two lengths, outputs folded into the carry, value mixing.
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

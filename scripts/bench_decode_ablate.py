@@ -12,9 +12,9 @@ Production now pays ~0 for cross either way.
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

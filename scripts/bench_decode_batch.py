@@ -4,9 +4,9 @@ tok/s counts one generated token per sentence per step (B tokens/step).
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

@@ -6,9 +6,9 @@ Shapes: B=64 sentences x K=5 beams = 320 rows, 24-layer 1024-d decoder,
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

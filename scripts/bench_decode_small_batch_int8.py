@@ -6,9 +6,9 @@ weight-byte savings. At B=8 (N=40) the step is weight-read-bound
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

@@ -27,14 +27,13 @@ embeddings), which a PCIe-attached production host pays in milliseconds.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 import random
+import sys
 import time
 
 import jax
 import numpy as np
-
-import sys
-from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 

@@ -18,9 +18,9 @@ at two lengths, value-mixed carries, every output consumed.
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

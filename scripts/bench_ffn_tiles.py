@@ -7,9 +7,9 @@ whether different VMEM tiling closes any of the remaining 20%.
 
 import functools
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

@@ -4,9 +4,9 @@ Shapes: [B=256, S=32, D=1024] = 8192 tokens, F=8192, H=16.
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

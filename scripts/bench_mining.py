@@ -5,9 +5,9 @@ bf16 MXU matmul in [8192, M] row blocks. Slope over distinct banks.
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

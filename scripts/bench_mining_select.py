@@ -11,9 +11,9 @@ Slabs are generated ON DEVICE (jax.random) — a [65536, 8192] fp32 slab is
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

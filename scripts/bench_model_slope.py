@@ -6,9 +6,9 @@ so nothing is DCE-able. Distinct batches per scan step (scanned inputs).
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

@@ -5,9 +5,9 @@ embedding — tunnel cost negligible next to the ~10s-clip forward).
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

@@ -8,9 +8,9 @@ Also breaks the block down: full / no-attention / no-conv / ffn-only.
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

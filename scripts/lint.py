@@ -17,6 +17,20 @@ this module implements the same error classes with ``ast`` + ``compile``:
   (re-export surface), as are ``import x as x`` explicit re-exports, names
   listed in ``__all__``, and identifiers inside string annotations (lazy
   ``from __future__ import annotations`` code quotes types manually too).
+- I001 (un-sorted import block — the isort --check class of the reference
+  CI, lint_and_test.yml:25-33): the leading module-level import block must
+  be grouped stdlib < third-party < first-party (one blank line between
+  groups) and sorted within each group by module name, ``import x`` before
+  ``from x import y`` for the same module — isort's default profile.
+  ``__init__.py`` files are exempt (import order there legitimately
+  resolves circular imports), as is any file whose block carries an
+  ``isort:`` or ``lint: keep-order`` marker. ``--fix`` rewrites the block
+  canonically in place, preserving every comment line (comments attach to
+  the import that follows them). Scope limits vs real isort: only the
+  leading block is normalized (imports after the first non-import
+  statement often have deliberate ordering, e.g. config-before-import),
+  multi-name ``import a, b`` statements are not split, and names inside a
+  ``from x import (...)`` list are left as written.
 - F82 (undefined names, F821): flow-insensitive two-pass scope analysis —
   collect every binding per scope (imports, assignments, walrus, function/
   class defs, arguments, for/with/except/match targets, comprehension
@@ -27,17 +41,17 @@ this module implements the same error classes with ``ast`` + ``compile``:
   F821 (unknowable), as in pyflakes.
 
 Zero third-party dependencies so it runs in any environment. Exit code 0
-iff no findings. Usage: ``python scripts/lint.py [paths...]`` (defaults to
-``sonar_tpu tests scripts bench.py __graft_entry__.py``).
+iff no findings. Usage: ``python scripts/lint.py [--fix] [paths...]``
+(defaults to the whole repo; ``--fix`` rewrites I001 import blocks).
 """
 
 from __future__ import annotations
 
 import ast
 import builtins
+from pathlib import Path
 import re
 import sys
-from pathlib import Path
 
 BUILTINS = set(dir(builtins)) | {
     "__file__", "__name__", "__doc__", "__package__", "__spec__",
@@ -384,6 +398,104 @@ class Checker(ast.NodeVisitor):
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
+_STDLIB = set(sys.stdlib_module_names)
+# First-party top-level names that are not importable-by-path siblings of
+# the file under check (the repo package plus repo-root script modules).
+_FIRST_PARTY = {"sonar_tpu", "conftest", "_toy", "multihost_worker"}
+
+
+def _import_sort_key(path: Path, st: ast.stmt) -> tuple[int, str, int]:
+    """(section, module, straight-before-from) — isort's default profile.
+
+    Sections: 0 stdlib, 1 third-party, 2 first-party/local. A module is
+    first-party when it is the repo package, a relative import, or resolves
+    to a sibling file/package of the file under check (tests importing
+    test helpers, examples importing ``_toy``).
+    """
+    if isinstance(st, ast.Import):
+        module, is_from = st.names[0].name, 0
+    else:
+        assert isinstance(st, ast.ImportFrom)
+        if st.level > 0:
+            return (2, "." * st.level + (st.module or "").lower(), 1)
+        if st.module == "__future__":
+            return (-1, "__future__", 1)  # must precede all other imports
+        module, is_from = st.module or "", 1
+    top = module.split(".")[0]
+    if top in _FIRST_PARTY:
+        section = 2
+    elif top in _STDLIB:
+        section = 0
+    elif (path.parent / f"{top}.py").exists() or (path.parent / top).is_dir():
+        section = 2
+    else:
+        section = 1
+    return (section, module.lower(), is_from)
+
+
+def canonical_import_block(src: str, path: Path) -> str | None:
+    """Return ``src`` with the leading import block normalized, or None if
+    it is already canonical (or the file opts out / has no block)."""
+    if path.name == "__init__.py":
+        return None
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    body = tree.body
+    i = 0
+    if (
+        body
+        and isinstance(body[0], ast.Expr)
+        and isinstance(body[0].value, ast.Constant)
+        and isinstance(body[0].value.value, str)
+    ):
+        i = 1
+    imports: list[ast.stmt] = []
+    while i < len(body) and isinstance(body[i], (ast.Import, ast.ImportFrom)):
+        imports.append(body[i])
+        i += 1
+    if len(imports) < 2:
+        return None
+    lines = src.splitlines(keepends=True)
+    first, last = imports[0].lineno, imports[-1].end_lineno or imports[-1].lineno
+    # Comments directly above the first import travel with it (isort's
+    # attachment rule) — but never absorb the file header: a comment block
+    # touching line 1 (shebang/license) stays put in full.
+    block_start = first
+    while block_start > 1 and lines[block_start - 2].lstrip().startswith("#"):
+        block_start -= 1
+    if block_start > 1 and not any(
+        "isort:" in ln for ln in lines[block_start - 1 : first - 1]
+    ):
+        first = block_start
+    region = lines[first - 1 : last]
+    if any("isort:" in ln or "lint: keep-order" in ln for ln in region):
+        return None
+
+    # Each item = (sort_key, text) where text is the statement's line span
+    # plus every comment line between the previous statement and this one.
+    items: list[tuple[tuple[int, str, int], int, str]] = []
+    prev_end = first - 1  # 0-based line index just past the previous stmt
+    for order, st in enumerate(imports):
+        chunk = lines[prev_end : (st.end_lineno or st.lineno)]
+        text = "".join(ln for ln in chunk if ln.strip())  # drop blank lines
+        items.append((_import_sort_key(path, st), order, text))
+        prev_end = st.end_lineno or st.lineno
+    items.sort(key=lambda t: (t[0], t[1]))
+
+    out: list[str] = []
+    prev_section: int | None = None
+    for key, _order, text in items:
+        if prev_section is not None and key[0] != prev_section:
+            out.append("\n")
+        out.append(text)
+        prev_section = key[0]
+    new_region = "".join(out)
+    if new_region == "".join(region):
+        return None
+    return "".join(lines[: first - 1]) + new_region + "".join(lines[last:])
+
 
 def check_annotations(tree: ast.Module) -> list[tuple[int, str, str]]:
     """Public-surface annotation coverage (the ``py.typed`` promise).
@@ -432,18 +544,30 @@ def check_annotations(tree: ast.Module) -> list[tuple[int, str, str]]:
     return findings
 
 
-def check_file(path: Path) -> list[str]:
+def check_file(path: Path, fix: bool = False) -> list[str]:
     src = path.read_text(encoding="utf-8")
     try:
         compile(src, str(path), "exec")  # E9xx / F7xx
         tree = ast.parse(src, str(path))
     except SyntaxError as e:
         return [f"{path}:{e.lineno}: E999 {e.msg}"]
+    import_order_findings: list[tuple[int, str, str]] = []
+    fixed = canonical_import_block(src, path)
+    if fixed is not None:
+        if fix:
+            path.write_text(fixed, encoding="utf-8")
+            src = fixed
+            tree = ast.parse(src, str(path))
+        else:
+            import_order_findings.append(
+                (1, "I001", "import block is un-sorted or un-grouped")
+            )
     # __init__.py modules are re-export surfaces: every import is public API.
     checker = Checker(str(path), check_unused_imports=path.name != "__init__.py")
     checker.check_module(tree)
     if "sonar_tpu" in path.parts:
         checker.findings.extend(check_annotations(tree))
+    checker.findings.extend(import_order_findings)
     lines = src.splitlines()
     return [
         f"{path}:{line}: {code} {msg}"
@@ -455,6 +579,8 @@ def check_file(path: Path) -> list[str]:
 
 
 def main(argv: list[str]) -> int:
+    fix = "--fix" in argv
+    argv = [a for a in argv if a != "--fix"]
     roots = [Path(a) for a in argv] or [
         Path("sonar_tpu"), Path("tests"), Path("scripts"),
         Path("benchmarks"), Path("examples"),
@@ -468,7 +594,7 @@ def main(argv: list[str]) -> int:
             files.append(r)
     findings: list[str] = []
     for f in files:
-        findings.extend(check_file(f))
+        findings.extend(check_file(f, fix=fix))
     for line in findings:
         print(line)
     print(f"lint: {len(files)} files, {len(findings)} findings")

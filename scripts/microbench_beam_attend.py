@@ -7,9 +7,9 @@ iteration via value mixing; every output consumed into the carry.
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

@@ -11,9 +11,9 @@ path is real — kernels must be shaped to hit it.
 """
 
 import os
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import jax
 

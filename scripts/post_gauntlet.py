@@ -26,9 +26,9 @@ Idempotent and safe to re-run; exits non-zero only on real failures (a
 missing cache exits 0 with an explanation so gauntlet.sh stays clean).
 """
 
+from pathlib import Path
 import re
 import sys
-from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))

@@ -17,8 +17,8 @@ files are skipped. After seeding, run:
 """
 
 import argparse
-import sys
 from pathlib import Path
+import sys
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 

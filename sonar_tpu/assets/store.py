@@ -9,11 +9,11 @@ Checkpoints are cached under ``$SONAR_TPU_CACHE`` (default
 
 from __future__ import annotations
 
-import os
-import urllib.request
 from dataclasses import dataclass, field
+import os
 from pathlib import Path
 from typing import Dict, List, Optional
+import urllib.request
 
 import yaml
 

@@ -15,9 +15,9 @@ Two decode paths:
 
 from __future__ import annotations
 
-import struct
 from dataclasses import dataclass
 from pathlib import Path
+import struct
 from typing import Any, Dict, Union
 
 import numpy as np

@@ -21,10 +21,10 @@ Implementation notes:
 
 from __future__ import annotations
 
-import queue
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
+import queue
+import threading
 from typing import Any, Callable, Iterable, Iterator, List, Optional, Sequence, Union
 
 

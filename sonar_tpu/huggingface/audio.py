@@ -7,8 +7,8 @@ audio column to 16 kHz, averages multichannel to mono, normalizes shapes to
 
 from __future__ import annotations
 
-import logging
 from dataclasses import dataclass
+import logging
 from typing import Any, Dict, List, Optional
 
 import numpy as np

@@ -13,9 +13,9 @@ Counterpart of ``huggingface_pipelines/text.py`` (SURVEY §2.2):
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass
 from itertools import accumulate
+import re
 from typing import Any, Dict, List, Optional
 
 import numpy as np

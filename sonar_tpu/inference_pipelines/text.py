@@ -16,9 +16,9 @@ Models are passed as bundle objects (model+params) or asset-card names.
 
 from __future__ import annotations
 
-import warnings
 from pathlib import Path
 from typing import Any, Iterable, List, Optional, Sequence, Union
+import warnings
 
 import jax
 import jax.numpy as jnp

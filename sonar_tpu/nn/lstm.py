@@ -15,8 +15,6 @@ gate order (i, f, g, o).
 
 from __future__ import annotations
 
-
-
 import jax
 import jax.numpy as jnp
 

@@ -19,12 +19,11 @@ model build, closed over by the jitted forward, never checkpointed.
 from __future__ import annotations
 
 import math
-
-import numpy as np
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sonar_tpu.nn.core import Params
 

@@ -18,8 +18,8 @@ log(max(x, FLT_EPS))), matching fairseq2n's defaults.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
+import functools
 from typing import Any, Tuple
 
 import jax

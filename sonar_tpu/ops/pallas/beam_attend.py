@@ -22,14 +22,13 @@ Numerics: fp32 scores/softmax/accumulation, same as the XLA path.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
-import functools
-
 import jax
-import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+import jax.numpy as jnp
 
 
 def _masked_attend_kernel(q_ref, k_ref, v_ref, anc_ref, vbias_ref, o_ref, *,

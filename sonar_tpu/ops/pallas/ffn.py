@@ -24,9 +24,9 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+import jax.numpy as jnp
 
 
 def _ffn_half_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,

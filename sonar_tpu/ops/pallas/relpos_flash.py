@@ -17,10 +17,10 @@ import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+import jax.numpy as jnp
+import numpy as np
 
 
 def _kernel(q_ref, k_ref, v_ref, bd_ref, u_ref, bias_ref, o_ref, *, scale: float):

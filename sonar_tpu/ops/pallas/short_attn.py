@@ -21,9 +21,9 @@ import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+import jax.numpy as jnp
 
 
 def _short_attn_kernel(qkv_ref, bias_ref, o_ref, *, num_heads: int,

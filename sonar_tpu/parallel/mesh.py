@@ -18,8 +18,8 @@ import functools
 from typing import Any, Optional, Sequence
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import numpy as np
 
 
 def make_mesh(

@@ -36,8 +36,8 @@ from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+import numpy as np
 
 from ..nn.transformer import encoder_stack, num_stacked_layers
 

@@ -38,8 +38,8 @@ from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
+import numpy as np
 
 from ..nn.conformer import (
     ConformerConfig,

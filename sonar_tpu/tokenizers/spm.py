@@ -23,9 +23,9 @@ module is the always-available pure-Python reference implementation.
 
 from __future__ import annotations
 
-import unicodedata
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Union
+import unicodedata
 
 from sonar_tpu.tokenizers.charsmap import utf8_bytes
 from sonar_tpu.tokenizers.spm_proto import (

@@ -24,8 +24,8 @@ fine. A writer is included to build synthetic models for tests.
 
 from __future__ import annotations
 
-import struct
 from dataclasses import dataclass, field
+import struct
 from typing import Iterator, List, Tuple
 
 PIECE_NORMAL = 1

@@ -8,9 +8,9 @@ round-trip with their shardings).
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Union
 
-from pathlib import Path
 from sonar_tpu.training.train_step import TrainState
 
 

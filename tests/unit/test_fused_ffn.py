@@ -5,8 +5,8 @@ implementation (``ops.quantization.int8_linear`` applied twice with ReLU
 between), plus a float reference to bound both paths' quantization error.
 """
 
-import sys
 from pathlib import Path
+import sys
 
 import jax
 import jax.numpy as jnp

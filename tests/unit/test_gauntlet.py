@@ -12,9 +12,9 @@ pin the machinery around it so that the round egress finally opens, running
 """
 
 import importlib.util
+from pathlib import Path
 import re
 import subprocess
-from pathlib import Path
 
 import jax
 

@@ -1,8 +1,8 @@
 """Generation: jitted lax beam search vs eager Python oracle; sampling."""
 
 import dataclasses
-import sys
 from pathlib import Path
+import sys
 
 import jax
 import jax.numpy as jnp

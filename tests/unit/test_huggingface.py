@@ -1,8 +1,8 @@
 """HF datasets integration: segmentation, text<->embedding columns, audio."""
 
 import dataclasses
-import sys
 from pathlib import Path
+import sys
 
 import jax
 import numpy as np

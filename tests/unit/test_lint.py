@@ -7,8 +7,8 @@ false-positive on legal Python.
 """
 
 import ast
-import sys
 from pathlib import Path
+import sys
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "scripts"))
 import lint  # noqa: E402
@@ -202,6 +202,135 @@ def test_ann_only_applies_under_sonar_tpu(tmp_path):
     p = tmp_path / "free.py"
     p.write_text("def f(x):\n    return x\n")
     assert lint.check_file(p) == []
+
+
+# -- import-order gate (I001, the isort --check class) ----------------------
+
+def i001(tmp_path, src: str, name: str = "mod.py"):
+    p = tmp_path / name
+    p.write_text(src)
+    return [f for f in lint.check_file(p) if "I001" in f], p
+
+
+def test_i001_fires_on_unsorted_and_ungrouped(tmp_path):
+    # within-group order violation
+    out, _ = i001(tmp_path, "import sys\nimport os\nprint(os, sys)\n")
+    assert len(out) == 1
+    # group order violation: third-party before stdlib
+    out, _ = i001(tmp_path, "import numpy\nimport os\nprint(numpy, os)\n")
+    assert len(out) == 1
+    # missing blank line between groups
+    out, _ = i001(tmp_path, "import os\nimport numpy\nprint(numpy, os)\n")
+    assert len(out) == 1
+
+
+def test_i001_clean_block_passes(tmp_path):
+    src = (
+        '"""doc."""\n'
+        "from __future__ import annotations\n\n"
+        "import os\n"
+        "from pathlib import Path\n"
+        "import sys\n\n"
+        "import numpy\n\n"
+        "import sonar_tpu\n\n"
+        "print(os, Path, sys, numpy, sonar_tpu)\n"
+    )
+    out, _ = i001(tmp_path, src)
+    assert out == []
+
+
+def test_i001_fix_is_canonical_and_idempotent(tmp_path):
+    src = (
+        '"""doc."""\n'
+        "# leading comment attached to numpy\n"
+        "import numpy\n"
+        "import sys\n"
+        "import os  # trailing comment kept\n"
+        "from collections import (\n"
+        "    OrderedDict,\n"
+        "    deque,\n"
+        ")\n"
+        "print(numpy, sys, os, OrderedDict, deque)\n"
+    )
+    p = tmp_path / "mod.py"
+    p.write_text(src)
+    assert lint.check_file(p, fix=True) == []
+    fixed = p.read_text()
+    # groups ordered, blank line between, comments preserved
+    assert fixed.index("collections") < fixed.index("import os")
+    assert fixed.index("import os") < fixed.index("import sys")
+    assert fixed.index("import sys") < fixed.index("import numpy")
+    assert "# leading comment attached to numpy\nimport numpy" in fixed
+    assert "import os  # trailing comment kept" in fixed
+    # section break goes before the attached comment
+    assert "\n\n# leading comment attached to numpy\nimport numpy" in fixed
+    # idempotent: a second canonicalization is a no-op
+    assert lint.canonical_import_block(fixed, p) is None
+    # and the fixed module still parses
+    ast.parse(fixed)
+
+
+def test_i001_exemptions(tmp_path):
+    # __init__.py: deliberate ordering is allowed
+    out, _ = i001(tmp_path, "import sys\nimport os\nprint(os, sys)\n",
+                  name="__init__.py")
+    assert out == []
+    # explicit keep-order marker
+    out, _ = i001(
+        tmp_path,
+        "import sys  # lint: keep-order\nimport os\nprint(os, sys)\n",
+    )
+    assert out == []
+    # single import: nothing to order
+    out, _ = i001(tmp_path, "import os\nprint(os)\n")
+    assert out == []
+
+
+def test_i001_future_import_stays_first(tmp_path):
+    # (a future import after another import is a SyntaxError, so only the
+    # "already first" case is reachable — the fixer must keep it there,
+    # in its own section, even though e.g. "argparse" sorts before it)
+    src = (
+        "from __future__ import annotations\n"
+        "import sys\n"
+        "import argparse\n"
+        "print(argparse, sys)\n"
+    )
+    p = tmp_path / "mod.py"
+    p.write_text(src)
+    lint.check_file(p, fix=True)
+    fixed = p.read_text()
+    assert fixed.startswith("from __future__ import annotations\n\nimport argparse\n")
+    ast.parse(fixed)
+
+
+def test_i001_file_header_comment_not_absorbed(tmp_path):
+    src = (
+        "#!/usr/bin/env python\n"
+        "import sys\n"
+        "import os\n"
+        "print(os, sys)\n"
+    )
+    p = tmp_path / "mod.py"
+    p.write_text(src)
+    lint.check_file(p, fix=True)
+    fixed = p.read_text()
+    assert fixed.startswith("#!/usr/bin/env python\nimport os\nimport sys\n")
+
+
+def test_i001_relative_imports_are_first_party(tmp_path):
+    pkg = tmp_path / "pkg"
+    pkg.mkdir()
+    src = (
+        "from .sibling import thing\n"
+        "import os\n"
+        "print(os, thing)\n"
+    )
+    p = pkg / "mod.py"
+    p.write_text(src)
+    fixed = lint.canonical_import_block(src, p)
+    assert fixed is not None
+    assert fixed.index("import os") < fixed.index(".sibling")
 
 
 # -- the repo itself is clean (the actual gate) -----------------------------

@@ -1,8 +1,8 @@
 """Max-length boundaries: PE table capacity, truncation at the cap."""
 
 import dataclasses
-import sys
 from pathlib import Path
+import sys
 
 import jax
 import jax.numpy as jnp

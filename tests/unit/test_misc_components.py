@@ -2,8 +2,8 @@
 pipeline, asset registry, BPE merge semantics, utils."""
 
 import dataclasses
-import sys
 from pathlib import Path
+import sys
 
 import jax
 import numpy as np

@@ -9,10 +9,10 @@ cross-host collectives the reference has no equivalent of.
 """
 
 import os
+from pathlib import Path
 import socket
 import subprocess
 import sys
-from pathlib import Path
 
 import pytest
 

@@ -1,8 +1,8 @@
 """Native C++ SPM core: bit-identical to the pure-Python Viterbi, and fast."""
 
+from pathlib import Path
 import sys
 import time
-from pathlib import Path
 
 import pytest
 

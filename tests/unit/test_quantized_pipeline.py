@@ -1,8 +1,8 @@
 """End-to-end pipeline in int8 mode + target-mode decode sanity."""
 
 import dataclasses
-import sys
 from pathlib import Path
+import sys
 
 import jax
 import numpy as np

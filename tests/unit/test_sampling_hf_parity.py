@@ -18,11 +18,10 @@ fuzz here uses continuous random logits where exact ties do not occur.
 
 from __future__ import annotations
 
-import numpy as np
-import pytest
-
 import jax
 import jax.numpy as jnp
+import numpy as np
+import pytest
 
 from sonar_tpu.generation.sampling import NEG_INF, TopKSampler, TopPSampler
 

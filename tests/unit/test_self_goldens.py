@@ -8,8 +8,8 @@ here means the framework's numerics CHANGED: if intentional, regenerate
 the fixture and say why in the commit.
 """
 
-import sys
 from pathlib import Path
+import sys
 
 import numpy as np
 import pytest

@@ -1,11 +1,11 @@
 """Embedding server: HTTP round-trip, micro-batching, error paths."""
 
 import json
+from pathlib import Path
 import sys
 import threading
 import urllib.error
 import urllib.request
-from pathlib import Path
 
 import numpy as np
 import pytest

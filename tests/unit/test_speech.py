@@ -1,7 +1,7 @@
 """Speech stack: conformer invariants, encoder forward, pipelines, converter."""
 
-import sys
 from pathlib import Path
+import sys
 
 import jax
 import jax.numpy as jnp

@@ -1,9 +1,9 @@
 """End-to-end text pipelines on toy models + synthetic NLLB tokenizer."""
 
 import dataclasses
+from pathlib import Path
 import sys
 import warnings
-from pathlib import Path
 
 import jax
 import numpy as np

@@ -7,10 +7,10 @@ the same sentencepiece semantics (Nmt+NFKC normalizers, the Precompiled
 charsmap decoder, the Unigram Viterbi segmenter).
 """
 
+from pathlib import Path
 import random
 import sys
 import unicodedata
-from pathlib import Path
 
 import pytest
 

@@ -1,7 +1,7 @@
 """Native SentencePiece: proto roundtrip, Viterbi, NLLB/LASER2 wrappers."""
 
-import sys
 from pathlib import Path
+import sys
 
 import pytest
 

@@ -11,8 +11,8 @@ the warmup paths and the serve paths.
 
 import contextlib
 import dataclasses
-import sys
 from pathlib import Path
+import sys
 
 import jax
 import numpy as np
