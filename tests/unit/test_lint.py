@@ -333,6 +333,63 @@ def test_i001_relative_imports_are_first_party(tmp_path):
     assert fixed.index("import os") < fixed.index(".sibling")
 
 
+def test_i001_fix_fuzz_preserves_imports(tmp_path):
+    """Property test of the fixer: for random import blocks, the fixed
+    source parses, contains exactly the same import statements (as a
+    multiset), keeps every comment line, and is idempotent."""
+    import random
+
+    rng = random.Random(20260819)
+    modules = [
+        ("os", 0), ("sys", 0), ("re", 0), ("pathlib", 0), ("json", 0),
+        ("numpy", 1), ("jax", 1), ("jax.numpy", 1), ("torch", 1),
+        ("sonar_tpu", 2), ("sonar_tpu.nn", 2),
+    ]
+    p = tmp_path / "mod.py"
+    for trial in range(40):
+        n = rng.randint(2, 8)
+        lines = []
+        if rng.random() < 0.3:
+            lines.append('"""doc."""')
+        for k in range(n):
+            mod, _ = rng.choice(modules)
+            if rng.random() < 0.25:
+                lines.append(f"# comment {trial}.{k}")
+            style = rng.random()
+            if style < 0.4:
+                lines.append(f"import {mod}")
+            elif style < 0.7:
+                alias = f"a{k}"
+                lines.append(f"import {mod} as {alias}")
+            elif style < 0.85:
+                lines.append(f"from {mod} import path as p{k}")
+            else:
+                lines.append(
+                    f"from {mod} import (\n    path as q{k},\n    sep as s{k},\n)"
+                )
+            if rng.random() < 0.2:
+                lines.append("")
+        lines.append("x = 1")
+        src = "\n".join(lines) + "\n"
+        fixed = lint.canonical_import_block(src, p)
+        if fixed is None:
+            continue  # already canonical
+        tree_before, tree_after = ast.parse(src), ast.parse(fixed)
+
+        def import_dumps(tree):
+            return sorted(
+                ast.dump(st)
+                for st in ast.walk(tree)
+                if isinstance(st, (ast.Import, ast.ImportFrom))
+            )
+
+        assert import_dumps(tree_before) == import_dumps(tree_after), src
+        for ln in src.splitlines():
+            if ln.lstrip().startswith("#"):
+                assert ln in fixed, (src, fixed)
+        assert lint.canonical_import_block(fixed, p) is None, (src, fixed)
+
+
 # -- the repo itself is clean (the actual gate) -----------------------------
 
 def test_repo_is_clean():
