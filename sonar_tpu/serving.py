@@ -21,6 +21,12 @@ API:
     GET  /healthz -> {"status": "ok", "pending": N}
     GET  /metrics -> per-endpoint request/batch counters, latency
                      percentiles, batch occupancy, encoder padding waste
+
+Overload behavior: each endpoint's backlog is bounded
+(``max_pending_sentences``, default 4096 items); a request arriving at a
+full backlog is shed with HTTP 503 + ``Retry-After`` instead of queueing
+into a guaranteed timeout (the ``shed`` counter on /metrics tracks this).
+Server-side timeouts reply 504.
 """
 
 from __future__ import annotations
@@ -64,11 +70,13 @@ class EndpointMetrics:
         self.batch_items = 0    # items across those predict calls
         self.errors = 0         # 4xx/5xx replies
         self.timeouts = 0       # server-side 504s (subset of errors)
+        self.shed = 0           # 503s from backlog load shedding (subset)
         self._lat: deque = deque(maxlen=window)      # seconds, ok requests
         self._occ: deque = deque(maxlen=window)      # items per predict call
 
     def observe_request(self, n_items: int, latency_s: float,
-                        ok: bool, timeout: bool = False) -> None:
+                        ok: bool, timeout: bool = False,
+                        shed: bool = False) -> None:
         with self._lock:
             self.requests += 1
             self.items += n_items
@@ -78,6 +86,8 @@ class EndpointMetrics:
                 self.errors += 1
                 if timeout:
                     self.timeouts += 1
+                if shed:
+                    self.shed += 1
 
     def observe_batch(self, n_items: int) -> None:
         with self._lock:
@@ -96,6 +106,7 @@ class EndpointMetrics:
                 "batch_items": self.batch_items,
                 "errors": self.errors,
                 "timeouts": self.timeouts,
+                "shed": self.shed,
             }
         out["latency_p50_ms"] = round(_percentile(lat, 0.50) * 1e3, 2)
         out["latency_p95_ms"] = round(_percentile(lat, 0.95) * 1e3, 2)
@@ -103,6 +114,17 @@ class EndpointMetrics:
             round(sum(occ) / len(occ), 2) if occ else 0.0
         )
         return out
+
+
+class ServerOverloadedError(RuntimeError):
+    """Backlog exceeds the shed threshold — reject instead of queueing.
+
+    Raised by ``MicroBatcher.submit`` when ``max_pending_items`` is set and
+    the queue already holds that many items. Unbounded queueing turns an
+    overload into memory growth plus guaranteed client timeouts; shedding
+    at admission keeps latency bounded for the requests already accepted
+    and tells well-behaved clients to back off (HTTP 503 + Retry-After).
+    """
 
 
 class MicroBatcher:
@@ -113,6 +135,12 @@ class MicroBatcher:
     arrival so a lone request is never stalled for long. Each drain groups
     by key (one ``predict_fn(flat_items, key)`` per key) and resolves
     futures with each request's slice of the results.
+
+    ``max_pending_items`` bounds the backlog: a submit that arrives while
+    the queue already holds that many items raises
+    ``ServerOverloadedError``. The bound applies to the backlog *before*
+    the new request, so a single large request is always admitted when the
+    queue is drained (bulk clients need not chunk to the bound).
     """
 
     def __init__(
@@ -121,19 +149,34 @@ class MicroBatcher:
         max_items: int = 256,
         max_wait_ms: float = 5.0,
         metrics: Optional[EndpointMetrics] = None,
+        max_pending_items: Optional[int] = None,
     ):
         self.predict_fn = predict_fn
         self.metrics = metrics
         self.max_items = max_items
         self.max_wait = max_wait_ms / 1000.0
+        self.max_pending_items = max_pending_items
         self._q: "queue.Queue" = queue.Queue()
+        self._pending_items = 0
+        self._pending_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def submit(self, items: Sequence, key: Any = None) -> Future:
         fut: Future = Future()
-        self._q.put((list(items), key, fut))
+        items = list(items)
+        with self._pending_lock:
+            if (
+                self.max_pending_items is not None
+                and self._pending_items >= self.max_pending_items
+            ):
+                raise ServerOverloadedError(
+                    f"backlog {self._pending_items} items >= "
+                    f"max_pending_items {self.max_pending_items}"
+                )
+            self._pending_items += len(items)
+        self._q.put((items, key, fut))
         if self._stop.is_set():
             # Racing close(): the worker's shutdown purge may already have
             # drained the queue, so purge again ourselves — a future landing
@@ -145,6 +188,10 @@ class MicroBatcher:
     @property
     def pending(self) -> int:
         return self._q.qsize()
+
+    def _dec_pending(self, n: int) -> None:
+        with self._pending_lock:
+            self._pending_items -= n
 
     def close(self) -> None:
         self._stop.set()
@@ -171,6 +218,7 @@ class MicroBatcher:
                 break
             batch.append(item)
             total += len(item[0])
+        self._dec_pending(total)  # popped entries are in flight, not backlog
         return batch
 
     @staticmethod
@@ -227,9 +275,10 @@ class MicroBatcher:
     def _purge(self) -> None:
         while True:
             try:
-                _, _, fut = self._q.get_nowait()
+                items, _, fut = self._q.get_nowait()
             except queue.Empty:
                 break
+            self._dec_pending(len(items))
             self._resolve(fut, exc=RuntimeError("server shutting down"))
 
 
@@ -251,6 +300,7 @@ class EmbeddingServer:
         max_sentences: int = 256,
         max_wait_ms: float = 5.0,
         request_timeout_s: float = 120.0,
+        max_pending_sentences: Optional[int] = 4096,
         translator: Any = None,
         speech_pipeline: Any = None,
         warmup: bool = False,
@@ -283,6 +333,7 @@ class EmbeddingServer:
             max_sentences,
             max_wait_ms,
             metrics=self.metrics["embed"],
+            max_pending_items=max_pending_sentences,
         )
         self.translate_batcher = (
             MicroBatcher(
@@ -292,6 +343,7 @@ class EmbeddingServer:
                 max_sentences,
                 max_wait_ms,
                 metrics=self.metrics["translate"],
+                max_pending_items=max_pending_sentences,
             )
             if translator is not None
             else None
@@ -302,6 +354,7 @@ class EmbeddingServer:
                 max_sentences,
                 max_wait_ms,
                 metrics=self.metrics["embed_speech"],
+                max_pending_items=max_pending_sentences,
             )
             if speech_pipeline is not None
             else None
@@ -313,7 +366,8 @@ class EmbeddingServer:
             def log_message(self, fmt, *args):  # route through logging
                 logger.debug("http: " + fmt, *args)
 
-            def _reply(self, code: int, payload: dict) -> None:
+            def _reply(self, code: int, payload: dict,
+                       retry_after_s: Optional[int] = None) -> None:
                 self._last_code = code
                 if getattr(self, "_t0", None) is not None:  # POST in flight
                     self._observe(code)
@@ -321,6 +375,8 @@ class EmbeddingServer:
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                if retry_after_s is not None:
+                    self.send_header("Retry-After", str(retry_after_s))
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -387,6 +443,7 @@ class EmbeddingServer:
                         time.monotonic() - self._t0,
                         ok=(code == 200),
                         timeout=(code == 504),
+                        shed=(code == 503),
                     )
 
             def do_POST(self):
@@ -469,6 +526,13 @@ class EmbeddingServer:
                         self._reply(404, {"error": "unknown path"})
                 except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
                     self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                except ServerOverloadedError as e:
+                    # Load shed at admission: backlog already at the bound.
+                    # 503 + Retry-After so well-behaved clients back off
+                    # instead of stacking requests into guaranteed 504s.
+                    self._reply(
+                        503, {"error": f"overloaded: {e}"}, retry_after_s=1
+                    )
                 except FutureTimeoutError:
                     # Server-side delay (compile storm, stalled batch) is not
                     # the client's fault: 504 so well-behaved clients retry.

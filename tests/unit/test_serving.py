@@ -137,6 +137,90 @@ def test_error_paths(server):
     assert health["status"] == "ok"
 
 
+def test_microbatcher_load_shedding_bound_and_recovery():
+    from sonar_tpu.serving import MicroBatcher, ServerOverloadedError
+
+    entered = threading.Event()
+    release = threading.Event()
+
+    def blocking_predict(items, _key):
+        entered.set()
+        assert release.wait(timeout=30)
+        return [x * 2 for x in items]
+
+    mb = MicroBatcher(
+        blocking_predict, max_items=8, max_wait_ms=1, max_pending_items=2
+    )
+    try:
+        fut_a = mb.submit([1], key="k")
+        assert entered.wait(timeout=10)  # worker now blocked in predict(A)
+        fut_b = mb.submit([2, 3], key="k")  # backlog 0 -> 2: admitted
+        with pytest.raises(ServerOverloadedError, match="max_pending_items"):
+            mb.submit([4], key="k")  # backlog 2 >= 2: shed
+        release.set()
+        assert fut_a.result(timeout=30) == [2]
+        assert fut_b.result(timeout=30) == [4, 6]
+        # backlog accounting returns to zero: new submits are admitted again
+        assert mb.submit([5], key="k").result(timeout=30) == [10]
+        assert mb._pending_items == 0
+    finally:
+        release.set()
+        mb.close()
+
+
+def test_http_load_shedding_503_retry_after_and_metrics():
+    from sonar_tpu.serving import EmbeddingServer
+
+    entered = threading.Event()
+    release = threading.Event()
+
+    class StubPipeline:
+        def predict(self, texts, source_lang=None, batching=None):
+            entered.set()
+            assert release.wait(timeout=30)
+            return np.zeros((len(texts), 4), np.float32)
+
+    srv = EmbeddingServer(
+        StubPipeline(), max_wait_ms=1, max_pending_sentences=2
+    ).start()
+    try:
+        results = {}
+
+        def client(name, n):
+            try:
+                results[name] = _post(
+                    srv.address,
+                    {"texts": ["x"] * n, "lang": "eng_Latn"},
+                )
+            except urllib.error.HTTPError as e:
+                results[name] = e
+
+        ta = threading.Thread(target=client, args=("a", 1))
+        ta.start()
+        assert entered.wait(timeout=10)  # worker blocked inside predict(A)
+        tb = threading.Thread(target=client, args=("b", 2))
+        tb.start()
+        deadline = 10.0
+        while srv.batcher.pending < 1 and deadline > 0:  # B queued
+            deadline -= 0.01
+            import time as _time
+
+            _time.sleep(0.01)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(srv.address, {"texts": ["x"], "lang": "eng_Latn"})
+        assert exc.value.code == 503
+        assert exc.value.headers.get("Retry-After") == "1"
+        shed_now = _get_metrics(srv.address)["embed"]["shed"]
+        assert shed_now == 1
+        release.set()
+        ta.join(timeout=30)
+        tb.join(timeout=30)
+        assert results["a"]["dim"] == 4 and results["b"]["dim"] == 4
+    finally:
+        release.set()
+        srv.stop()
+
+
 @pytest.fixture(scope="module")
 def full_server(tmp_path_factory):
     """Server with all three endpoints: text embed, translate, speech embed."""
