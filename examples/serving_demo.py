@@ -6,10 +6,8 @@ load balancer; offline this demo uses the toy fallback and self-tests the
 round trip.
 """
 
-import json
-import urllib.request
-
 from sonar_tpu import TextToEmbeddingModelPipeline
+from sonar_tpu.client import SonarClient
 from sonar_tpu.serving import EmbeddingServer
 
 SENTENCES = ["My name is SONAR.", "I can embed sentences into vector space."]
@@ -34,20 +32,15 @@ def main():
     print(f"serving on http://{host}:{port}  "
           f"(POST /embed, GET /healthz, GET /metrics)")
     try:
-        req = urllib.request.Request(
-            f"http://{host}:{port}/embed",
-            data=json.dumps({"texts": SENTENCES, "lang": "eng_Latn"}).encode(),
-            headers={"Content-Type": "application/json"},
-        )
-        with urllib.request.urlopen(req, timeout=120) as r:
-            out = json.loads(r.read())
-        print(f"embedded {len(out['embeddings'])} sentences, dim {out['dim']}")
-        with urllib.request.urlopen(
-            f"http://{host}:{port}/metrics", timeout=10
-        ) as r:
-            m = json.loads(r.read())["embed"]
+        # SonarClient is the reference well-behaved caller: it honors the
+        # server's 503 Retry-After load shedding with bounded backoff,
+        # retries 504s, and chunks bulk inputs.
+        with SonarClient(host, port) as client:
+            emb = client.embed(SENTENCES, lang="eng_Latn")
+            print(f"embedded {emb.shape[0]} sentences, dim {emb.shape[1]}")
+            m = client.metrics()["embed"]
         print(f"metrics: {m['requests']} requests, {m['batches']} batches, "
-              f"p50 {m['latency_p50_ms']} ms, "
+              f"p50 {m['latency_p50_ms']} ms, shed {m['shed']}, "
               f"padding waste {m['encoder']['padding_waste']:.1%}")
     finally:
         server.stop()
