@@ -27,6 +27,13 @@ Overload behavior: each endpoint's backlog is bounded
 full backlog is shed with HTTP 503 + ``Retry-After`` instead of queueing
 into a guaranteed timeout (the ``shed`` counter on /metrics tracks this).
 Server-side timeouts reply 504.
+
+Lifecycle: ``warmup=True`` precompiles every serving shape before the
+socket opens; ``drain()`` begins a graceful shutdown — new POSTs get 503
+(+``Retry-After``), already-accepted work completes, ``/healthz`` flips
+to ``{"status": "draining"}`` so load balancers pull the instance — and
+``stop(drain_timeout_s=...)`` drains, waits for the backlog to clear,
+then closes.
 """
 
 from __future__ import annotations
@@ -360,6 +367,7 @@ class EmbeddingServer:
             else None
         )
         self.request_timeout_s = request_timeout_s
+        self._draining = threading.Event()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -387,7 +395,8 @@ class EmbeddingServer:
                         for b in (server.translate_batcher, server.speech_batcher)
                         if b is not None
                     )
-                    self._reply(200, {"status": "ok", "pending": pending})
+                    status = "draining" if server._draining.is_set() else "ok"
+                    self._reply(200, {"status": status, "pending": pending})
                 elif self.path == "/metrics":
                     payload = {
                         ep: m.snapshot() for ep, m in server.metrics.items()
@@ -459,6 +468,15 @@ class EmbeddingServer:
 
             def _do_POST_inner(self):
                 try:
+                    if server._draining.is_set():
+                        # Graceful shutdown in progress: refuse new work up
+                        # front (same contract as load shedding) while the
+                        # already-accepted backlog finishes.
+                        self._reply(
+                            503, {"error": "server is draining"},
+                            retry_after_s=1,
+                        )
+                        return
                     req = self._read_json_object()
                     if self.path == "/embed":
                         self._ep = "embed"
@@ -554,12 +572,38 @@ class EmbeddingServer:
         self._serve_thread.start()
         return self
 
-    def stop(self) -> None:
+    @property
+    def _batchers(self) -> List[MicroBatcher]:
+        return [
+            b
+            for b in (self.batcher, self.translate_batcher, self.speech_batcher)
+            if b is not None
+        ]
+
+    def drain(self) -> None:
+        """Begin graceful shutdown: refuse new POSTs (503 + Retry-After),
+        keep processing the already-accepted backlog, and report
+        ``{"status": "draining"}`` on /healthz so load balancers pull this
+        instance. Call ``stop()`` once ``pending`` reaches zero (or use
+        ``stop(drain_timeout_s=...)`` to do both)."""
+        self._draining.set()
+
+    @property
+    def pending(self) -> int:
+        return sum(b.pending for b in self._batchers)
+
+    def stop(self, drain_timeout_s: float = 0.0) -> None:
+        """Shut down. With ``drain_timeout_s`` > 0: drain first and wait up
+        to that long for accepted work to clear before closing (work still
+        queued after the timeout is failed with 'server shutting down')."""
+        if drain_timeout_s > 0:
+            self.drain()
+            deadline = time.monotonic() + drain_timeout_s
+            while self.pending > 0 and time.monotonic() < deadline:
+                time.sleep(0.01)
         self.httpd.shutdown()
         self.httpd.server_close()
         if self._serve_thread is not None:
             self._serve_thread.join(timeout=5)
-        self.batcher.close()
-        for b in (self.translate_batcher, self.speech_batcher):
-            if b is not None:
-                b.close()
+        for b in self._batchers:
+            b.close()

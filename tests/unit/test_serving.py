@@ -221,6 +221,78 @@ def test_http_load_shedding_503_retry_after_and_metrics():
         srv.stop()
 
 
+def test_graceful_drain_refuses_new_work_but_finishes_accepted():
+    from sonar_tpu.serving import EmbeddingServer
+
+    entered = threading.Event()
+    release = threading.Event()
+
+    class Blocking:
+        def predict(self, texts, source_lang=None, batching=None):
+            entered.set()
+            assert release.wait(timeout=30)
+            return np.zeros((len(texts), 3), np.float32)
+
+    srv = EmbeddingServer(Blocking(), max_wait_ms=1).start()
+    try:
+        results = {}
+
+        def client():
+            results["a"] = _post(
+                srv.address, {"texts": ["x"], "lang": "eng_Latn"}
+            )
+
+        t = threading.Thread(target=client)
+        t.start()
+        assert entered.wait(10)  # request accepted, worker busy
+        srv.drain()
+        health = json.loads(
+            urllib.request.urlopen(
+                f"http://{srv.address[0]}:{srv.address[1]}/healthz", timeout=10
+            ).read()
+        )
+        assert health["status"] == "draining"
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv.address, {"texts": ["y"], "lang": "eng_Latn"})
+        assert e.value.code == 503
+        assert e.value.headers.get("Retry-After") == "1"
+        release.set()
+        t.join(30)
+        assert results["a"]["dim"] == 3  # accepted work still completed
+    finally:
+        release.set()
+        srv.stop()
+
+
+def test_stop_with_drain_timeout_completes_backlog():
+    from sonar_tpu.serving import EmbeddingServer
+
+    class Slowish:
+        def predict(self, texts, source_lang=None, batching=None):
+            import time as _t
+
+            _t.sleep(0.05)
+            return np.ones((len(texts), 2), np.float32)
+
+    srv = EmbeddingServer(Slowish(), max_wait_ms=1).start()
+    results = {}
+
+    def client(i):
+        results[i] = _post(srv.address, {"texts": [f"t{i}"], "lang": "eng_Latn"})
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for _ in range(1000):  # all three accepted into predict calls
+        if srv.metrics["embed"].batch_items >= 3:
+            break
+        threading.Event().wait(0.01)
+    srv.stop(drain_timeout_s=30.0)
+    for t in threads:
+        t.join(30)
+    assert all(results[i]["dim"] == 2 for i in range(3)), results
+
+
 @pytest.fixture(scope="module")
 def full_server(tmp_path_factory):
     """Server with all three endpoints: text embed, translate, speech embed."""
