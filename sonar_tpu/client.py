@@ -46,6 +46,9 @@ class SonarClient:
     replies raise ``ServerError`` without retrying: the request itself is
     bad. ``chunk_size`` splits large inputs into sequential requests so a
     bulk caller shares the micro-batcher fairly with interactive traffic.
+
+    Not thread-safe (one reused ``HTTPConnection``): use one client per
+    thread; the server coalesces concurrent clients into shared batches.
     """
 
     def __init__(
