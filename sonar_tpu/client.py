@@ -29,6 +29,29 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 
+def _retry_after_seconds(headers: Dict[str, str]) -> float:
+    """Parse Retry-After defensively: delta-seconds (our server), the
+    RFC 7231 HTTP-date form (proxies may rewrite to it), any header case
+    (HTTP/2 hops lowercase names). Unparseable -> 0 (fall back to our own
+    backoff) — a malformed header must never crash the retry loop."""
+    value = next(
+        (v for k, v in headers.items() if k.lower() == "retry-after"), ""
+    ).strip()
+    if not value:
+        return 0.0
+    try:
+        return max(0.0, float(value))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(value)
+        return max(0.0, dt.timestamp() - time.time())
+    except (ValueError, TypeError, OverflowError):
+        return 0.0
+
+
 class ServerError(RuntimeError):
     """Non-retryable server reply (4xx, or retries exhausted)."""
 
@@ -130,8 +153,12 @@ class SonarClient:
                     break
                 # 503 carries the server's own pacing hint; take the larger
                 # of it and our backoff so repeated sheds still decelerate.
-                retry_after = float(headers.get("Retry-After", 0) or 0)
-                time.sleep(min(max(delay, retry_after), self.max_backoff_s))
+                time.sleep(
+                    min(
+                        max(delay, _retry_after_seconds(headers)),
+                        self.max_backoff_s,
+                    )
+                )
                 delay *= 2
                 continue
             raise ServerError(status, message)  # 4xx etc.: not retryable
@@ -146,7 +173,9 @@ class SonarClient:
         return self._request("GET", "/metrics", None)
 
     def embed(self, texts: Sequence[str], lang: str = "eng_Latn") -> np.ndarray:
-        """Text -> [N, D] float32 embeddings (chunked, order-preserving)."""
+        """Text -> [N, D] float32 embeddings (chunked, order-preserving).
+        Empty input returns shape (0, 0): the embedding dim is a server-side
+        model property the client cannot know without a request."""
         parts: List[np.ndarray] = []
         texts = list(texts)
         for i in range(0, len(texts), self.chunk_size):

@@ -164,7 +164,8 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1000.0
         self.max_pending_items = max_pending_items
         self._q: "queue.Queue" = queue.Queue()
-        self._pending_items = 0
+        self._pending_items = 0   # queued, not yet picked up by the worker
+        self._inflight_items = 0  # popped by the worker, predict not done
         self._pending_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -196,13 +197,22 @@ class MicroBatcher:
     def pending(self) -> int:
         return self._q.qsize()
 
-    def _dec_pending(self, n: int) -> None:
+    @property
+    def pending_items(self) -> int:
+        """Items accepted but not yet answered: queued + in flight. This —
+        not queue size — is what a graceful drain must wait on (a popped
+        batch can sit in ``predict`` for seconds)."""
+        with self._pending_lock:
+            return self._pending_items + self._inflight_items
+
+    def _move_to_inflight(self, n: int) -> None:
         with self._pending_lock:
             self._pending_items -= n
+            self._inflight_items += n
 
-    def close(self) -> None:
+    def close(self, timeout_s: float = 5.0) -> None:
         self._stop.set()
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=timeout_s)
 
     # -- worker ---------------------------------------------------------------
 
@@ -225,7 +235,7 @@ class MicroBatcher:
                 break
             batch.append(item)
             total += len(item[0])
-        self._dec_pending(total)  # popped entries are in flight, not backlog
+        self._move_to_inflight(total)
         return batch
 
     @staticmethod
@@ -272,7 +282,13 @@ class MicroBatcher:
             try:
                 batch = self._drain()
                 if batch:
-                    self._process(batch)
+                    try:
+                        self._process(batch)
+                    finally:
+                        with self._pending_lock:
+                            self._inflight_items -= sum(
+                                len(items) for items, _, _ in batch
+                            )
             except BaseException:  # the single worker must never die
                 logger.exception("micro-batcher iteration failed")
         # shutdown: fail anything still queued instead of leaving clients
@@ -285,7 +301,8 @@ class MicroBatcher:
                 items, _, fut = self._q.get_nowait()
             except queue.Empty:
                 break
-            self._dec_pending(len(items))
+            with self._pending_lock:
+                self._pending_items -= len(items)
             self._resolve(fut, exc=RuntimeError("server shutting down"))
 
 
@@ -371,6 +388,12 @@ class EmbeddingServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: every reply carries Content-Length and
+            # every POST body is read before replying, so connections are
+            # safely reusable (SonarClient relies on this; under 1.0 the
+            # socket would be torn down per request).
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, fmt, *args):  # route through logging
                 logger.debug("http: " + fmt, *args)
 
@@ -390,13 +413,10 @@ class EmbeddingServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    pending = server.batcher.pending + sum(
-                        b.pending
-                        for b in (server.translate_batcher, server.speech_batcher)
-                        if b is not None
-                    )
                     status = "draining" if server._draining.is_set() else "ok"
-                    self._reply(200, {"status": status, "pending": pending})
+                    self._reply(
+                        200, {"status": status, "pending": server.pending}
+                    )
                 elif self.path == "/metrics":
                     payload = {
                         ep: m.snapshot() for ep, m in server.metrics.items()
@@ -466,12 +486,26 @@ class EmbeddingServer:
                     # fallback for a handler crash that never replied
                     self._observe(getattr(self, "_last_code", 500))
 
+            _EP_BY_PATH = {
+                "/embed": "embed",
+                "/translate": "translate",
+                "/embed_speech": "embed_speech",
+            }
+
             def _do_POST_inner(self):
                 try:
                     if server._draining.is_set():
-                        # Graceful shutdown in progress: refuse new work up
-                        # front (same contract as load shedding) while the
-                        # already-accepted backlog finishes.
+                        # Graceful shutdown: refuse new work (same contract
+                        # as load shedding) while accepted work finishes.
+                        # Drain the request body FIRST — replying with
+                        # unread bytes in the socket makes the kernel RST
+                        # the connection and the client never sees the 503
+                        # — and attribute the refusal to its endpoint so
+                        # /metrics shows the sheds during a rollout.
+                        self.rfile.read(
+                            int(self.headers.get("Content-Length", "0"))
+                        )
+                        self._ep = self._EP_BY_PATH.get(self.path)
                         self._reply(
                             503, {"error": "server is draining"},
                             retry_after_s=1,
@@ -590,15 +624,17 @@ class EmbeddingServer:
 
     @property
     def pending(self) -> int:
-        return sum(b.pending for b in self._batchers)
+        """Items accepted but not yet answered (queued + in predict)."""
+        return sum(b.pending_items for b in self._batchers)
 
     def stop(self, drain_timeout_s: float = 0.0) -> None:
         """Shut down. With ``drain_timeout_s`` > 0: drain first and wait up
-        to that long for accepted work to clear before closing (work still
-        queued after the timeout is failed with 'server shutting down')."""
+        to that long for accepted work — queued AND in-flight — to clear
+        before closing (work still outstanding after the timeout is failed
+        with 'server shutting down')."""
+        deadline = time.monotonic() + drain_timeout_s
         if drain_timeout_s > 0:
             self.drain()
-            deadline = time.monotonic() + drain_timeout_s
             while self.pending > 0 and time.monotonic() < deadline:
                 time.sleep(0.01)
         self.httpd.shutdown()
@@ -606,4 +642,7 @@ class EmbeddingServer:
         if self._serve_thread is not None:
             self._serve_thread.join(timeout=5)
         for b in self._batchers:
-            b.close()
+            # the drain wait above normally leaves workers idle; if the
+            # timeout expired mid-predict, give the worker the remaining
+            # budget (min 5 s) to finish before abandoning the join
+            b.close(timeout_s=max(5.0, deadline - time.monotonic()))

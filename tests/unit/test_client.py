@@ -67,6 +67,36 @@ def test_retries_exhausted_reports_last_error():
         c.healthz()
 
 
+def test_retry_after_parsing_is_defensive():
+    from email.utils import formatdate
+    import time as _time
+
+    from sonar_tpu.client import _retry_after_seconds
+
+    assert _retry_after_seconds({"Retry-After": "2"}) == 2.0
+    assert _retry_after_seconds({"retry-after": "3"}) == 3.0  # any case
+    assert _retry_after_seconds({}) == 0.0
+    assert _retry_after_seconds({"Retry-After": "garbage"}) == 0.0
+    # RFC 7231 HTTP-date form (proxies rewrite to this)
+    future = formatdate(_time.time() + 5, usegmt=True)
+    got = _retry_after_seconds({"Retry-After": future})
+    assert 0.0 < got <= 6.0
+    past = formatdate(_time.time() - 60, usegmt=True)
+    assert _retry_after_seconds({"Retry-After": past}) == 0.0
+
+
+def test_connection_is_reused_across_requests(echo_server):
+    # the server speaks HTTP/1.1 keep-alive; the client's single
+    # HTTPConnection must survive consecutive requests (same socket)
+    with client_for(echo_server) as c:
+        c.embed(["one"])
+        sock = c._conn.sock
+        assert sock is not None
+        c.embed(["two"])
+        c.metrics()
+        assert c._conn.sock is sock
+
+
 def test_503_shed_is_retried_until_capacity_returns():
     entered = threading.Event()
     release = threading.Event()

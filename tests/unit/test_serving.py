@@ -245,6 +245,15 @@ def test_graceful_drain_refuses_new_work_but_finishes_accepted():
         t = threading.Thread(target=client)
         t.start()
         assert entered.wait(10)  # request accepted, worker busy
+        # in-flight (popped, inside predict) still counts as pending: a
+        # graceful drain must wait on it, and healthz must report it
+        assert srv.pending == 1
+        health = json.loads(
+            urllib.request.urlopen(
+                f"http://{srv.address[0]}:{srv.address[1]}/healthz", timeout=10
+            ).read()
+        )
+        assert health["pending"] == 1
         srv.drain()
         health = json.loads(
             urllib.request.urlopen(
@@ -252,13 +261,28 @@ def test_graceful_drain_refuses_new_work_but_finishes_accepted():
             ).read()
         )
         assert health["status"] == "draining"
+        before = _get_metrics(srv.address)["embed"]
+        # large body: the 503 must arrive cleanly (body drained before the
+        # reply — otherwise the kernel RSTs and the client sees a reset)
         with pytest.raises(urllib.error.HTTPError) as e:
-            _post(srv.address, {"texts": ["y"], "lang": "eng_Latn"})
+            _post(
+                srv.address,
+                {"texts": ["y" * 2_000_000], "lang": "eng_Latn"},
+            )
         assert e.value.code == 503
         assert e.value.headers.get("Retry-After") == "1"
+        after = _get_metrics(srv.address)["embed"]
+        # drain refusals are visible in metrics, attributed to the endpoint
+        assert after["shed"] - before["shed"] == 1
+        assert after["errors"] - before["errors"] == 1
         release.set()
         t.join(30)
         assert results["a"]["dim"] == 3  # accepted work still completed
+        for _ in range(500):  # worker's in-flight decrement races the reply
+            if srv.pending == 0:
+                break
+            threading.Event().wait(0.01)
+        assert srv.pending == 0
     finally:
         release.set()
         srv.stop()
